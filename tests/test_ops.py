@@ -1,0 +1,123 @@
+"""Ops: ESI score + confusion counts, masked CE, cutting."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unetsulc_tpu.ops.cutting import cutting
+from unetsulc_tpu.ops.esi import (
+    confusion_counts,
+    esi_from_counts,
+    esi_score,
+)
+from unetsulc_tpu.ops.losses import cross_entropy_ignore
+
+
+def test_esi_score_basics():
+    y = [0, 0, 1, 1, 2]
+    assert esi_score(y, y, [0, 1, 2]) == 0.0
+    # one label fully wrong: E_local(0)=1 (FN), E_local(1) gets FP
+    yp = [1, 1, 1, 1, 2]
+    # label 0: TP=0 FP=0 FN=2 -> 1.0 ; label 1: TP=2 FP=2 FN=0 -> 2/6 ; label 2: 0
+    expected = (1.0 + 2 / 6 + 0.0) / 3
+    assert esi_score(y, yp, [0, 1, 2]) == pytest.approx(expected)
+    # absent labels contribute 0
+    assert esi_score(y, y, [0, 1, 2, 7]) == 0.0
+    # works with string labels (threshold sweep path)
+    assert esi_score(["a", "b"], ["a", "a"], ["a", "b"]) == pytest.approx(
+        (1 / 3 + 1.0) / 2
+    )
+
+
+def test_confusion_counts_matches_esi_score():
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(-1, 5, size=(2, 8, 8, 8))
+    y_pred = rng.integers(0, 5, size=(2, 8, 8, 8))
+    counts = np.asarray(
+        confusion_counts(jnp.asarray(y_true), jnp.asarray(y_pred), 5)
+    )
+    sslist = [0, 2, 3]
+    valid = y_true != -1
+    direct = esi_score(y_true[valid], y_pred[valid], sslist)
+    assert esi_from_counts(counts, sslist) == pytest.approx(direct)
+    # counts are additive across batches (epoch accumulation)
+    c1 = np.asarray(
+        confusion_counts(jnp.asarray(y_true[:1]), jnp.asarray(y_pred[:1]), 5)
+    )
+    c2 = np.asarray(
+        confusion_counts(jnp.asarray(y_true[1:]), jnp.asarray(y_pred[1:]), 5)
+    )
+    np.testing.assert_array_equal(c1 + c2, counts)
+
+
+def test_cross_entropy_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 6, 5, 4, 7)).astype(np.float32)
+    labels = rng.integers(-1, 7, size=(2, 6, 5, 4))
+    ours = float(
+        cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(labels))
+    )
+    lt = torch.from_numpy(logits).permute(0, 4, 1, 2, 3)
+    theirs = torch.nn.functional.cross_entropy(
+        lt, torch.from_numpy(labels), ignore_index=-1
+    )
+    assert ours == pytest.approx(float(theirs), rel=1e-5)
+
+
+def test_cross_entropy_all_background():
+    logits = jnp.zeros((1, 2, 2, 2, 3))
+    labels = -jnp.ones((1, 2, 2, 2), jnp.int32)
+    assert float(cross_entropy_ignore(logits, labels)) == 0.0
+
+
+def _scores(pred_ids, n_classes, margin=5.0):
+    s = np.zeros((len(pred_ids), n_classes))
+    s[np.arange(len(pred_ids)), pred_ids] = margin
+    return s
+
+
+def test_cutting_no_cut_majority_vote():
+    """A fold whose minority label is below threshold is relabelled whole."""
+    pts = np.stack([np.arange(10), np.zeros(10), np.zeros(10)], 1).astype(int)
+    preds = np.array([0] * 7 + [1] * 3)
+    out = cutting(_scores(preds, 3), np.zeros(10, int), pts, threshold=5)
+    np.testing.assert_array_equal(out, 0)
+
+
+def test_cutting_splits_fold():
+    """Two big spatially separated label groups -> fold is cut."""
+    pts = np.concatenate(
+        [
+            np.stack([np.arange(6), np.zeros(6), np.zeros(6)], 1),
+            np.stack([np.arange(6) + 20, np.zeros(6), np.zeros(6)], 1),
+        ]
+    ).astype(int)
+    preds = np.array([0] * 6 + [1] * 6)
+    out = cutting(_scores(preds, 3), np.zeros(12, int), pts, threshold=5)
+    np.testing.assert_array_equal(out[:6], 0)
+    np.testing.assert_array_equal(out[6:], 1)
+
+
+def test_cutting_minority_attached_to_nearest_part():
+    pts = np.concatenate(
+        [
+            np.stack([np.arange(6), np.zeros(6), np.zeros(6)], 1),
+            np.stack([np.arange(6) + 20, np.zeros(6), np.zeros(6)], 1),
+            np.array([[26, 0, 0]]),  # minority voxel adjacent to 2nd part
+        ]
+    ).astype(int)
+    preds = np.array([0] * 6 + [1] * 6 + [2])
+    out = cutting(_scores(preds, 3), np.zeros(13, int), pts, threshold=5)
+    assert out[-1] == 1  # swallowed by the nearest surviving part
+    np.testing.assert_array_equal(out[:6], 0)
+
+
+def test_cutting_respects_folds():
+    """Voxels of different elementary folds never mix."""
+    pts = np.stack([np.arange(12), np.zeros(12), np.zeros(12)], 1).astype(int)
+    vert = np.array([0] * 6 + [1] * 6)
+    preds = np.array([0] * 6 + [1] * 6)
+    out = cutting(_scores(preds, 3), vert, pts, threshold=100)
+    np.testing.assert_array_equal(out[:6], 0)
+    np.testing.assert_array_equal(out[6:], 1)

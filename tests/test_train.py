@@ -1,0 +1,213 @@
+"""Train step: SGD parity with torch, freezing, controllers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unetsulc_tpu.train.controllers import DivideLr, EarlyStopping, FineTunning
+from unetsulc_tpu.train.freeze import (
+    merge,
+    partition,
+    torch_param_name,
+    trainable_mask,
+    trainable_names,
+)
+from unetsulc_tpu.train.step import TrainState, make_eval_step, make_train_step
+
+
+def tiny_model():
+    from unetsulc_tpu.models.unet3d import UNet3D
+
+    return UNet3D(
+        in_channels=1,
+        out_channels=3,
+        init_channel_number=8,
+        compute_dtype=jnp.float32,
+    )
+
+
+def _setup(training_layers=None, lr=0.05):
+    model = tiny_model()
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    params = model.init(jax.random.key(0), x, train=True)["params"]
+
+    def apply_fn(params, inputs, train=True):
+        return model.apply({"params": params}, inputs, train=train)
+
+    state = TrainState.create(params, lr=lr, training_layers=training_layers)
+    step = make_train_step(apply_fn, num_classes=3, momentum=0.9, donate=False)
+    return model, params, state, step, apply_fn
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = (rng.random((1, 8, 8, 8, 1)) < 0.1).astype(np.float32)
+    labels = np.where(
+        inputs[..., 0] > 0, rng.integers(0, 3, (1, 8, 8, 8)), -1
+    ).astype(np.int32)
+    return jnp.asarray(inputs), jnp.asarray(labels)
+
+
+def test_train_step_learns():
+    _, _, state, step, apply_fn = _setup(lr=0.1)
+    inputs, labels = _batch()
+    losses = []
+    for _ in range(8):
+        state, loss, counts = step(state, inputs, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.asarray(counts).shape == (3, 3)
+
+
+def test_sgd_momentum_matches_torch():
+    """One linear layer: our SGD update sequence == torch.optim.SGD."""
+    torch = pytest.importorskip("torch")
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    x = np.random.default_rng(1).normal(size=(5, 3)).astype(np.float32)
+    y = np.random.default_rng(2).normal(size=(5, 4)).astype(np.float32)
+
+    # torch
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9, weight_decay=0)
+    torch_ws = []
+    for _ in range(4):
+        opt.zero_grad()
+        loss = ((torch.from_numpy(x) @ wt.T - torch.from_numpy(y)) ** 2).mean()
+        loss.backward()
+        opt.step()
+        torch_ws.append(wt.detach().numpy().copy())
+
+    # ours: same update rule on the raw pytree
+    params = {"final_conv": {"conv": {"kernel": jnp.asarray(w0)}}}
+    state = TrainState.create(params, lr=0.1)
+
+    def loss_fn(trainable):
+        # pin matmul precision: JAX's default fp32 matmul may round
+        # operands (same issue as convs, see unet3d.DoubleConv._block)
+        with jax.default_matmul_precision("highest"):
+            w = trainable["final_conv"]["conv"]["kernel"]
+            return ((jnp.asarray(x) @ w.T - jnp.asarray(y)) ** 2).mean()
+
+    for i in range(4):
+        grads = jax.grad(loss_fn)(state.trainable)
+        buf = jax.tree.map(
+            lambda b, g: 0.9 * b + g, state.momentum_buf, grads
+        )
+        new_tr = jax.tree.map(
+            lambda p, b: p - state.lr * b, state.trainable, buf
+        )
+        state = state.replace(trainable=new_tr, momentum_buf=buf)
+        ours = np.asarray(state.trainable["final_conv"]["conv"]["kernel"])
+        np.testing.assert_allclose(ours, torch_ws[i], rtol=1e-5, atol=1e-6)
+
+
+def test_freeze_partition():
+    _, params, _, _, _ = _setup()
+    mask = trainable_mask(params, ["final_conv"])
+    trainable, frozen = partition(params, mask)
+    names = trainable_names(params, ["final_conv"])
+    assert names == ["final_conv.bias", "final_conv.weight"]
+    merged = merge(trainable, frozen)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frozen_params_do_not_move():
+    _, params, state, step, _ = _setup(training_layers=["final_conv"], lr=0.5)
+    inputs, labels = _batch()
+    before = jax.tree.map(np.asarray, state.frozen)
+    for _ in range(3):
+        state, loss, _ = step(state, inputs, labels)
+    after = jax.tree.map(np.asarray, state.frozen)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # the head did move
+    assert not np.allclose(
+        np.asarray(state.trainable["final_conv"]["conv"]["kernel"]),
+        np.asarray(params["final_conv"]["conv"]["kernel"]),
+    )
+
+
+def test_repartition_unfreezes():
+    _, params, state, step, apply_fn = _setup(training_layers=["final_conv"])
+    state = state.repartition(["final_conv", "decoders.2"])
+    names = trainable_names(state.params, ["final_conv", "decoders.2"])
+    assert any(n.startswith("decoders.2") for n in names)
+    # step still runs after repartition (recompiles once)
+    step2 = make_train_step(apply_fn, num_classes=3, donate=False)
+    inputs, labels = _batch()
+    state, loss, _ = step2(state, inputs, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_divide_lr_state():
+    _, _, state, _, _ = _setup(lr=0.1)
+    state = state.replace(
+        momentum_buf=jax.tree.map(
+            lambda b: jnp.ones_like(b), state.momentum_buf
+        )
+    )
+    state2 = state.divide_lr()
+    assert float(state2.lr) == pytest.approx(0.01)
+    assert all(
+        float(jnp.abs(b).sum()) == 0.0
+        for b in jax.tree.leaves(state2.momentum_buf)
+    )
+    state3 = state.divide_lr(reset_momentum=False)
+    assert any(
+        float(jnp.abs(b).sum()) > 0.0
+        for b in jax.tree.leaves(state3.momentum_buf)
+    )
+
+
+def test_eval_step_activation_quirk():
+    model, params, state, _, apply_fn = _setup()
+    inputs, labels = _batch()
+    ev_act = make_eval_step(apply_fn, num_classes=3, apply_activation=True)
+    ev_raw = make_eval_step(apply_fn, num_classes=3, apply_activation=False)
+    loss_act, c1 = ev_act(params, inputs, labels)
+    loss_raw, c2 = ev_raw(params, inputs, labels)
+    assert float(loss_act) != pytest.approx(float(loss_raw))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_controllers_semantics():
+    es = EarlyStopping(patience=2)
+    for loss, stop in [(1.0, False), (1.1, False), (1.2, True)]:
+        es(loss)
+        assert es.early_stop == stop
+
+    dl = DivideLr(patience=1, repeat=2)
+    dl(1.0)
+    assert not dl.divide_lr
+    dl(2.0)
+    assert dl.divide_lr and not dl.stop
+    dl(3.0)
+    assert dl.divide_lr and dl.stop  # second (last) division
+    dl(4.0)
+    assert not dl.divide_lr  # stopped
+
+    ft = FineTunning(patience=2)
+    ft(1.0)
+    ft(1.5)
+    assert not ft.ft_start
+    ft(1.5)
+    assert ft.ft_start and ft.stop
+    ft(9.9)
+    assert not ft.ft_start  # one-shot
+
+
+def test_torch_param_name():
+    assert (
+        torch_param_name(("encoders_0", "double_conv", "conv1", "kernel"))
+        == "encoders.0.double_conv.conv1.weight"
+    )
+    assert (
+        torch_param_name(("decoders_2", "double_conv", "norm2_scale"))
+        == "decoders.2.double_conv.norm2.weight"
+    )
+    assert torch_param_name(("final_conv", "conv", "bias")) == "final_conv.bias"
+    assert (
+        torch_param_name(("final_conv", "1", "kernel")) == "final_conv.1.weight"
+    )

@@ -1,0 +1,119 @@
+"""Host input pipeline: dataset -> static-shape device batches, prefetched.
+
+Replaces the reference's ``torch.utils.data.DataLoader(..., shuffle=False,
+num_workers=0)`` (ref training.py:92-94,116-118) with a TPU-appropriate
+loader:
+
+* every batch has the SAME static shape (one XLA executable per phase);
+* a short last batch is padded with all-background samples — they carry
+  zero weight in the masked loss and metrics, so epoch numbers are
+  unchanged (``real`` in each batch reports the true sample count for the
+  reference's ``running_loss += loss * B`` accounting);
+* voxelization for the next batch overlaps device compute via a
+  single background prefetch thread (the host is the reference's hot loop
+  #2, SURVEY.md §3);
+* batches are placed with an explicit sharding when provided, so data
+  parallelism is just "hand pjit a sharded array".
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclass
+class Batch:
+    inputs: np.ndarray  # (B, X, Y, Z, 1) float32
+    labels: np.ndarray  # (B, X, Y, Z) int32
+    real: int  # number of non-padding samples
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    img_size: Sequence[int],
+    epoch: int = 0,
+) -> Iterator[Batch]:
+    """Yield fixed-shape batches in dataset order (reference: shuffle=False)."""
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
+    n = len(dataset)
+    sx, sy, sz = (int(s) for s in img_size)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        inputs = np.zeros((batch_size, sx, sy, sz, 1), np.float32)
+        labels = np.full((batch_size, sx, sy, sz), -1, np.int32)
+        for bi, i in enumerate(idxs):
+            vol_in, vol_lb = dataset[i]
+            assert vol_in.shape[:3] == (sx, sy, sz), (
+                f"sample {i} shape {vol_in.shape[:3]} != static {img_size}; "
+                "choose img_size >= dataset.max_image_size()"
+            )
+            inputs[bi] = vol_in
+            labels[bi] = vol_lb
+        yield Batch(inputs=inputs, labels=labels, real=len(idxs))
+
+
+def device_iterator(
+    batches: Iterator[Batch],
+    sharding=None,
+    prefetch: int = 2,
+):
+    """Move batches to device ahead of compute via a prefetch thread.
+
+    Yields (inputs_on_device, labels_on_device, real).
+    """
+
+    def put(batch: Batch):
+        if sharding is not None:
+            inp = jax.device_put(batch.inputs, sharding)
+            lab = jax.device_put(batch.labels, sharding)
+        else:
+            inp = jax.device_put(batch.inputs)
+            lab = jax.device_put(batch.labels)
+        return inp, lab, batch.real
+
+    if prefetch <= 0:
+        for b in batches:
+            yield put(b)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+    err = []
+
+    def producer():
+        try:
+            for b in batches:
+                q.put(put(b))
+        except BaseException as e:  # surfaced in the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def choose_static_size(
+    dataset,
+    buckets: Optional[Sequence[int]] = None,
+) -> tuple:
+    """Static (X, Y, Z) for a dataset: its analytic max size, bucketed."""
+    from unetsulc_tpu.data.voxelize import DEFAULT_BUCKET_SIZES, bucket_shape
+
+    size = dataset.max_image_size()
+    return bucket_shape(size, buckets or DEFAULT_BUCKET_SIZES)

@@ -1,0 +1,205 @@
+"""Experiment driver: cohort -> K-fold CV -> threshold vote -> artifacts.
+
+Function-ized rebuild of the reference CLI's inline experiment layer
+(ref main.py:65-185): cohort/cached-data loading, method construction,
+``KFold(n_cvinner, shuffle=True, random_state=0)`` (sklearn, identical
+split sequence), per-fold learning + threshold sweep + model save, then
+the cross-fold best-threshold majority vote.
+
+Returns the results dict so tests/benchmarks can assert on it; all
+artifacts of SURVEY.md §2.4 are written under ``working_path``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as op
+import time
+from typing import Optional
+
+import numpy as np
+from sklearn.model_selection import KFold
+
+from unetsulc_tpu.config import Parameters
+from unetsulc_tpu.method.training import TrainingSulciLabeller
+from unetsulc_tpu.method.transfer import TransferSulciLabeller
+
+
+def load_cohort(params: Parameters):
+    """Read the cohort JSON -> (graphs, notcut_graphs|None) (ref main.py:71-84)."""
+    cohort_file = params.cohort_file()
+    path = op.join(params.working_path, "cohorts", cohort_file + ".json")
+    with open(path, "r") as f:
+        cohort = json.load(f)
+    graphs, notcut_graphs = [], []
+    for s in cohort["subjects"]:
+        graphs.append(s["graph"])
+        if notcut_graphs is not None:
+            if s.get("notcut_graph") is not None:
+                notcut_graphs.append(s["notcut_graph"])
+            else:
+                notcut_graphs = None
+                print("No not cut graphs")
+    print(len(graphs), "graph loaded")
+    return graphs, notcut_graphs
+
+
+def build_method(params: Parameters, graphs):
+    """Construct the method object, reusing cached extracted data if present
+    (ref main.py:87-118)."""
+    cohort_file = params.cohort_file()
+    path_to_data = op.join(
+        params.working_path, "data", cohort_file + "_data.json"
+    )
+    data = {}
+    if os.path.exists(path_to_data):
+        with open(path_to_data, "r") as f:
+            data = json.load(f)
+        print("Data Loaded")
+    else:
+        print("No Data Found")
+
+    common = dict(
+        cuda=params.cuda,
+        working_path=params.working_path,
+        dict_model=params.dict_model.to_dict(),
+        translation_file=params.translation_file,
+        tpu=params.tpu,
+    )
+    cached = (
+        dict(
+            dict_names=data["dict_names"],
+            dict_bck2=data["dict_bck2"],
+            sulci_side_list=data["sulci_side_list"],
+        )
+        if data
+        else {}
+    )
+    if params.learning == "transfer_learning":
+        method = TransferSulciLabeller(
+            graphs,
+            params.hemi,
+            dict_trained_model=(
+                params.dict_trained_model.to_dict()
+                if params.dict_trained_model
+                else {}
+            ),
+            **common,
+            **cached,
+        )
+    else:
+        method = TrainingSulciLabeller(graphs, params.hemi, **common, **cached)
+
+    if not data:
+        method.extract_data_from_graphs()
+        method.save_data(name=cohort_file)
+    return method
+
+
+def threshold_vote(results: dict, rng: Optional[np.random.Generator] = None):
+    """Cross-fold best-threshold selection (ref main.py:158-185).
+
+    Returns (best_thresholds_per_fold, global_best_th).  Ties within a fold
+    collect into lists; a fold's saved threshold is drawn from the tie list;
+    the global threshold is the majority vote over the flattened lists.
+    """
+    rng = rng or np.random.default_rng(0)
+    best_thresholds, best_means = [], []
+    for th, scores in results["threshold_scores"].items():
+        mean_scores = [np.mean(scores[i]) for i in range(len(scores))]
+        for n, sc in enumerate(mean_scores):
+            if len(best_means) < n + 1:
+                best_means.append(sc)
+                best_thresholds.append(th)
+            elif sc > best_means[n]:
+                best_thresholds[n] = th
+                best_means[n] = sc
+            elif sc == best_means[n]:
+                if isinstance(best_thresholds[n], list):
+                    best_thresholds[n].append(th)
+                else:
+                    best_thresholds[n] = [best_thresholds[n], th]
+
+    per_fold = []
+    for th in best_thresholds:
+        per_fold.append(int(rng.choice(th)) if isinstance(th, list) else int(th))
+
+    flat = []
+    for th in best_thresholds:
+        flat.extend(th if isinstance(th, list) else [th])
+    best_th = int(max(set(flat), key=flat.count)) if flat else None
+    return per_fold, best_th
+
+
+def run_experiment(params: Parameters):
+    """Full CV run (the reference's __main__ block, ref main.py:65-185)."""
+    print("working directory: ", params.working_path)
+    print("cohort: ", params.cohort_name)
+    print("hemi: ", params.hemi)
+
+    graphs, notcut_graphs = load_cohort(params)
+    method = build_method(params, graphs)
+    model_name = params.dict_model.name
+
+    print("\n----- Learning -----\n")
+    start_time = time.time()
+    kf = KFold(n_splits=params.n_cvinner, shuffle=True, random_state=0)
+    agraphs = np.asarray(graphs)
+    notcut_agraphs = (
+        np.asarray(notcut_graphs) if notcut_graphs is not None else None
+    )
+
+    for cvi, (train, test) in enumerate(kf.split(graphs)):
+        print(
+            "\n== Cross Validation {}/{} ==\n".format(cvi, params.n_cvinner - 1)
+        )
+        glist_train = agraphs[train]
+        glist_test = agraphs[test]
+        method.learning(
+            lr=params.lr,
+            momentum=params.momentum,
+            num_epochs=params.n_epochs,
+            gfile_list_train=glist_train,
+            gfile_list_test=glist_test,
+            batch_size=params.batch_size,
+            patience=params.patience,
+            save_results=True,
+        )
+        if notcut_agraphs is not None:
+            print("\nCutting")
+            method.test_thresholds(
+                gfile_list_test=glist_test,
+                gfile_list_notcut_test=notcut_agraphs[test],
+                threshold_range=params.th_range,
+            )
+        method.save_model(name=model_name + "_cv" + str(cvi))
+
+    method.save_results()
+    cv_time = time.time() - start_time
+    print(
+        "Cross Validation complete in {:.0f}h {:.0f}m {:.0f}s".format(
+            cv_time // 3600, (cv_time % 3600) // 60, (cv_time % 3600) % 60
+        )
+    )
+
+    with open(
+        op.join(params.working_path, "results", model_name + "_results.json"),
+        "r",
+    ) as f:
+        results = json.load(f)
+
+    mean_acc = np.mean(results["best_acc"])
+    print("\nFinal Results")
+    print("Mean accuracy: ", mean_acc)
+
+    if notcut_agraphs is not None:
+        per_fold, best_th = threshold_vote(results)
+        for n, th in enumerate(per_fold):
+            print("Training n°", n, " | Best threshold:", th)
+            method.save_params(
+                best_threshold=int(th), name=model_name + "_cv" + str(n)
+            )
+        method.save_params(best_threshold=best_th)
+        print("\nBest Threshold: ", best_th)
+    return results

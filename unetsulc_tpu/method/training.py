@@ -1,0 +1,371 @@
+"""From-scratch training method (ref training.py:33-299, TPU-native).
+
+``learning()`` keeps the reference's observable behavior — results schema,
+tensorboard tags, best-weights-by-val-acc tracking, DivideLr/EarlyStopping
+hooks, optimizer-rebuild-on-divide semantics — while the execution model is
+TPU-first:
+
+* ONE static volume shape per dataset (train: analytic rotation bound;
+  val: exact max), bucketed so XLA executables are reused across folds.
+  This replaces the reference's num_epochs-replay size pre-scan
+  (ref training.py:120-136) with the same guarantee and zero extra passes.
+* the per-batch hot loop is a single donated jit'd step (forward bf16,
+  masked CE, backward, SGD+momentum, confusion counts) — no host sync
+  except the scalar loss fetch used for the running average;
+* epoch metrics come from the on-device confusion accumulator
+  (exact ESI; SURVEY.md §3 hot loop #4);
+* with ``tpu.data_parallel > 1`` batches are sharded over the mesh's
+  ``data`` axis and XLA all-reduces the gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from unetsulc_tpu.data.dataset import SulciDataset
+from unetsulc_tpu.data.pipeline import (
+    choose_static_size,
+    device_iterator,
+    iterate_batches,
+)
+from unetsulc_tpu.experiment.tensorboard import SummaryWriter
+from unetsulc_tpu.method.base import SulciLabeller
+from unetsulc_tpu.models.unet3d import init_params
+from unetsulc_tpu.ops.esi import esi_from_counts
+from unetsulc_tpu.train.controllers import DivideLr, EarlyStopping
+from unetsulc_tpu.train.step import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+
+import os
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_steps(model_def, num_classes: int, momentum: float):
+    """One (train_step, eval_step) pair per model config.
+
+    flax modules are frozen (hashable) dataclasses, so this memoizes the
+    jit wrappers across CV folds — without it every ``learning()`` call
+    would rebuild the closures and recompile identical executables
+    (the reference pays a fresh optimizer+model per fold instead,
+    ref main.py:131-137)."""
+
+    def apply_fn(params, inputs, train=True):
+        return model_def.apply({"params": params}, inputs, train=train)
+
+    return (
+        make_train_step(apply_fn, num_classes, momentum=momentum),
+        make_eval_step(apply_fn, num_classes),
+    )
+
+
+class TrainingSulciLabeller(SulciLabeller):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.results = self._results_schema()
+
+    @staticmethod
+    def _results_schema() -> dict:
+        # ref training.py:41-57
+        return {
+            "lr": [],
+            "momentum": [],
+            "batch_size": [],
+            "num_epochs": [],
+            "graphs_train": [],
+            "graphs_test": [],
+            "patience": {},
+            "epoch_loss_val": [],
+            "epoch_acc_val": [],
+            "epoch_loss_train": [],
+            "epoch_acc_train": [],
+            "best_acc": [],
+            "best_epoch": [],
+            "divide_lr_epoch": [],
+            "duration": [],
+            "threshold_scores": {},
+        }
+
+    def reset_results(self) -> None:
+        self.results = self._results_schema()
+
+    # ------------------------------------------------------------------
+    def load_network(self, rng_seed: int = 0) -> None:
+        """Fresh UNet3D (ref training.py:60-74)."""
+        print("Network initialization...")
+        self.model_def = self._make_model(len(self.sulci_side_list))
+        # minimal example shape for init; params are shape-independent
+        self.params = init_params(
+            self.model_def, jax.random.key(rng_seed), (1, 8, 8, 8, self.num_channel)
+        )
+        self._predict_fns = {}
+
+    def _training_layers(self) -> Optional[Sequence[str]]:
+        return None  # from-scratch: everything trainable
+
+    # ------------------------------------------------------------------
+    def _epoch_pass(
+        self,
+        phase: str,
+        state: TrainState,
+        step_fn,
+        dataset,
+        img_size,
+        batch_size: int,
+        epoch: int,
+        sharding=None,
+    ):
+        """One phase of one epoch. Returns (state, epoch_loss, counts)."""
+        running_loss = 0.0
+        counts = np.zeros((3, len(self.sulci_side_list)), np.int64)
+        batches = iterate_batches(dataset, batch_size, img_size, epoch=epoch)
+        for inputs, labels, real in device_iterator(
+            batches, sharding=sharding, prefetch=self.tpu.prefetch
+        ):
+            if phase == "train":
+                state, loss, c = step_fn(state, inputs, labels)
+            else:
+                loss, c = step_fn(state.params, inputs, labels)
+            running_loss += float(loss) * real
+            counts += np.asarray(c, np.int64)
+        epoch_loss = running_loss / len(dataset)
+        return state, epoch_loss, counts
+
+    def _controllers(self, patience: Dict[str, int]):
+        ctrl = {}
+        if "early_stopping" in patience:
+            ctrl["early_stopping"] = EarlyStopping(
+                patience=patience["early_stopping"]
+            )
+        if "divide_lr" in patience:
+            ctrl["divide_lr"] = DivideLr(patience=patience["divide_lr"])
+        return ctrl
+
+    # ------------------------------------------------------------------
+    def learning(
+        self,
+        lr: float,
+        momentum: float,
+        num_epochs: int,
+        gfile_list_train: Sequence[str],
+        gfile_list_test: Sequence[str],
+        batch_size: int = 1,
+        patience: Optional[Dict[str, int]] = None,
+        save_results: bool = True,
+    ):
+        patience = patience or {}
+        if (
+            self.sulci_side_list is None
+            or self.dict_bck2 is None
+            or self.dict_names is None
+        ):
+            print("Error : extract data from graphs before learning")
+            return 1
+
+        # # DATASETS (static shapes) # #
+        print("Extract validation dataloader...")
+        valdataset = SulciDataset(
+            gfile_list_test,
+            self.dict_sulci,
+            train=False,
+            translation_file=self.trfile,
+            dict_bck2=self.dict_bck2,
+            dict_names=self.dict_names,
+        )
+        val_img_size = choose_static_size(valdataset)
+        valdataset.img_size = list(val_img_size)
+        print("Val dataset image size:", list(val_img_size))
+
+        print("Extract train dataloader...")
+        traindataset = SulciDataset(
+            gfile_list_train,
+            self.dict_sulci,
+            train=True,
+            translation_file=self.trfile,
+            dict_bck2=self.dict_bck2,
+            dict_names=self.dict_names,
+            seed=42,  # the reference's fixed augmentation seed discipline
+        )
+        train_img_size = choose_static_size(traindataset)
+        traindataset.img_size = list(train_img_size)
+        print("Train dataset image size:", list(train_img_size))
+
+        # # MODEL + STATE # #
+        self._prepare_model_and_state(lr)
+        num_classes = len(self.sulci_side_list)
+        train_step, eval_step = _cached_steps(
+            self.model_def, num_classes, momentum
+        )
+        state = self._state
+
+        sharding = None
+        if self.tpu.data_parallel > 1:
+            from unetsulc_tpu.parallel.mesh import batch_sharding, make_mesh
+
+            mesh = make_mesh(
+                data=self.tpu.data_parallel, space=self.tpu.spatial_parallel
+            )
+            sharding = batch_sharding(mesh)
+
+        # # RESULTS / TENSORBOARD # #
+        writer = None
+        num_training = len(self.results["lr"])
+        if save_results:
+            self.results["lr"].append(lr)
+            self.results["momentum"].append(momentum)
+            self.results["batch_size"].append(batch_size)
+            self._append_epoch_count(num_epochs)
+            self.results["graphs_test"].append(list(gfile_list_test))
+            self.results["graphs_train"].append(list(gfile_list_train))
+            self.results["patience"] = patience
+            if batch_size > 1:
+                # ref training.py:152-158 records the fixed sizes
+                if num_training == 0:
+                    self.results["train_image_size"] = [
+                        int(i) for i in train_img_size
+                    ]
+                    self.results["val_image_size"] = [
+                        int(i) for i in val_img_size
+                    ]
+                else:
+                    self.results["train_image_size"].append(
+                        [int(i) for i in train_img_size]
+                    )
+                    self.results["val_image_size"].append(
+                        [int(i) for i in val_img_size]
+                    )
+            log_dir = os.path.join(
+                self.working_path, "tensorboard", self.model_name
+            )
+            os.makedirs(log_dir, exist_ok=True)
+            writer = SummaryWriter(
+                log_dir=os.path.join(log_dir, "cv" + str(num_training))
+            )
+
+        ctrl = self._controllers(patience)
+
+        # # TRAINING # #
+        print("training...")
+        since = time.time()
+        best_params = jax.tree.map(np.asarray, state.params)
+        best_acc, best_epoch = 0.0, 0
+        sslist_ids = [self.dict_sulci[ss] for ss in self.sslist]
+        epoch_loss = 0.0
+
+        stop = False
+        for epoch in range(num_epochs):
+            print("Epoch {}/{}".format(epoch, num_epochs - 1))
+            print("-" * 10)
+            start_time = time.time()
+
+            for phase in ["train", "val"]:
+                step_fn = train_step if phase == "train" else eval_step
+                dataset = traindataset if phase == "train" else valdataset
+                img_size = (
+                    train_img_size if phase == "train" else val_img_size
+                )
+                state, epoch_loss, counts = self._epoch_pass(
+                    phase,
+                    state,
+                    step_fn,
+                    dataset,
+                    img_size,
+                    batch_size,
+                    epoch,
+                    sharding,
+                )
+                epoch_acc = 1 - esi_from_counts(counts, sslist_ids)
+                print(
+                    "{} Loss: {:.4f} Acc: {:.4f}".format(
+                        phase, epoch_loss, epoch_acc
+                    )
+                )
+
+                if save_results:
+                    writer.add_scalar("Loss/" + phase, epoch_loss, epoch)
+                    writer.add_scalar("Accuracy/" + phase, epoch_acc, epoch)
+                    if epoch == 0:
+                        self.results["epoch_loss_" + phase].append([epoch_loss])
+                        self.results["epoch_acc_" + phase].append([epoch_acc])
+                    else:
+                        self.results["epoch_loss_" + phase][
+                            num_training
+                        ].append(epoch_loss)
+                        self.results["epoch_acc_" + phase][num_training].append(
+                            epoch_acc
+                        )
+
+                if phase == "val" and epoch_acc > best_acc:
+                    best_acc = epoch_acc
+                    best_epoch = epoch
+                    best_params = jax.tree.map(np.asarray, state.params)
+
+            # controllers run on the val loss (the reference's epoch_loss
+            # variable holds the val phase's value here)
+            state, stop = self._post_epoch(
+                ctrl, epoch, num_epochs, epoch_loss, state, save_results
+            )
+            print("Epoch took %i s." % (time.time() - start_time))
+            print("\n")
+            if stop:
+                break
+
+        time_elapsed = time.time() - since
+        print(
+            "Training complete in {:.0f}m {:.0f}s".format(
+                time_elapsed // 60, time_elapsed % 60
+            )
+        )
+        print("Best val Acc: {:4f}, Epoch {}".format(best_acc, best_epoch))
+
+        if save_results:
+            self.results["best_acc"].append(best_acc)
+            self.results["best_epoch"].append(best_epoch)
+            self.results["duration"].append(time_elapsed)
+            writer.close()
+
+        # load best model weights (ref training.py:276)
+        self.params = best_params
+        self._state = None
+        return 0
+
+    # hooks overridden by the transfer subclass -------------------------
+    def _append_epoch_count(self, num_epochs: int) -> None:
+        self.results["num_epochs"].append(num_epochs)
+
+    def _prepare_model_and_state(self, lr: float) -> None:
+        self.load_network()
+        self._state = TrainState.create(
+            self.params, lr=lr, training_layers=self._training_layers()
+        )
+
+    def _post_epoch(
+        self, ctrl, epoch, num_epochs, epoch_loss, state, save_results
+    ):
+        stop = False
+        if "divide_lr" in ctrl:
+            ctrl["divide_lr"](epoch_loss)
+            if ctrl["divide_lr"].divide_lr:
+                state = state.divide_lr(
+                    10.0,
+                    reset_momentum=self.tpu.reset_momentum_on_divide,
+                )
+                print(
+                    "\tDivide learning rate. New value: {}".format(
+                        float(state.lr)
+                    )
+                )
+                self.results["divide_lr_epoch"].append(epoch)
+        if "early_stopping" in ctrl:
+            ctrl["early_stopping"](epoch_loss)
+            if ctrl["early_stopping"].early_stop:
+                print("Early stopping")
+                stop = True
+        return state, stop

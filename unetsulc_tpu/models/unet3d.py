@@ -1,0 +1,382 @@
+"""3D U-Net in flax — the framework's flagship model.
+
+Re-implements the observable architecture of
+``deepsulci.deeptools.models.UNet3D`` (SURVEY.md §2.3; ctor usage at
+ref training.py:65-67 and ref pattern_class.py:352-356):
+
+* encoder channel ladder ``init_ch -> 2i -> 4i -> 8i`` with each block a
+  DoubleConv of 3x3x3 convs in configurable 'crg' order
+  (conv -> ReLU -> GroupNorm);
+* encoder downsampling by MaxPool3d(kernel 2, stride 2, padding 1) — the
+  padding keeps odd extents alive (out = floor(d/2) + 1);
+* three decoders named ``decoders.{0,1,2}`` (the transfer-learning freeze
+  contract, ref transfer_learning/transfer_learning.py:69) that upsample by
+  trilinear interpolation to the skip's spatial size, concat, DoubleConv;
+* a swappable ``final_conv`` 1x1x1 head, optionally an ``nn.Sequential`` of
+  ``num_conv`` 1x1x1 convs with linearly interpolated channel counts
+  (ref pattern_class.py:357-365);
+* final softmax/sigmoid applied only in eval mode (torch semantics:
+  ``final_activation`` runs when ``not self.training``) — training code
+  consumes raw logits for the cross-entropy.
+
+TPU-first choices: channels-last (N, X, Y, Z, C) layout so XLA maps convs
+onto the MXU, bfloat16 compute with float32 params and float32 GroupNorm
+statistics, and a Pallas fused GroupNorm(+ReLU) kernel on the hot path
+(:mod:`unetsulc_tpu.ops.groupnorm`).
+
+Parameter tree naming intentionally mirrors the torch ``state_dict`` keys
+(``encoders_0/double_conv/conv1`` <-> ``encoders.0.double_conv.conv1``) so
+``.mdsm`` import/export is a mechanical rename + transpose
+(:mod:`unetsulc_tpu.models.torch_interop`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unetsulc_tpu.ops.groupnorm import group_norm
+from unetsulc_tpu.ops.resize import resize_trilinear
+
+
+def pick_num_groups(channels: int, preferred: int = 32) -> int:
+    """Largest divisor of ``channels`` that is <= ``preferred``.
+
+    torch GroupNorm(32, C) requires 32 | C; the deepsulci configs always
+    satisfy that (init_channel_number 64 => all widths are multiples of 32).
+    Smaller test configs need a valid fallback.
+    """
+    g = min(preferred, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+def max_pool_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool3d(kernel_size=2, stride=2, padding=1) on (..., X, Y, Z, C).
+
+    -inf padding reproduces torch's padded max pooling; output extent is
+    floor(d/2) + 1 per axis.
+    """
+    spatial = [(1, 1)] * 3
+    pads = [(0, 0)] + spatial + [(0, 0)]
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 2, 1),
+        window_strides=(1, 2, 2, 2, 1),
+        padding=pads,
+    )
+
+
+class DoubleConv(nn.Module):
+    """Two 3x3x3 convs applying ops in ``order`` per conv.
+
+    order chars: 'c' conv3x3x3 (padding 1, bias), 'r' ReLU, 'g' GroupNorm
+    (must come after the conv).  BatchNorm ('b') is intentionally
+    unsupported — reference configs use 'crg' (ref pattern_class.py:95);
+    raise loudly rather than silently diverge.
+
+    Channel split follows the torch original:
+    encoder (in < out): conv1 in->out//2, conv2 out//2->out;
+    decoder (in >= out): conv1 in->out, conv2 out->out.
+
+    Param paths (``conv1``, ``norm1_scale``, ...) are chosen so the torch
+    state_dict keys ``double_conv.conv1.weight`` / ``double_conv.norm1.weight``
+    map mechanically (see torch_interop).
+    """
+
+    in_channels: int
+    out_channels: int
+    order: str = "crg"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def _block(self, x: jnp.ndarray, pos: int, out_channels: int) -> jnp.ndarray:
+        # fp32 compute requests HIGHEST precision: XLA's default fp32 conv
+        # path is allowed to round operands (bf16 passes on TPU MXU, reduced
+        # precision on CPU), which breaks torch-parity; bf16 compute keeps
+        # the fast default.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.compute_dtype == jnp.float32
+            else None
+        )
+        for i, char in enumerate(self.order):
+            if char == "c":
+                x = nn.Conv(
+                    features=out_channels,
+                    kernel_size=(3, 3, 3),
+                    padding=1,
+                    use_bias=True,
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    precision=precision,
+                    name=f"conv{pos}",
+                )(x)
+            elif char == "r":
+                x = nn.relu(x)
+            elif char == "g":
+                if i < self.order.index("c"):
+                    raise ValueError("GroupNorm must come after the conv")
+                x = group_norm(
+                    x,
+                    num_groups=pick_num_groups(out_channels),
+                    scale=self.param(
+                        f"norm{pos}_scale",
+                        nn.initializers.ones,
+                        (out_channels,),
+                        jnp.float32,
+                    ),
+                    bias=self.param(
+                        f"norm{pos}_bias",
+                        nn.initializers.zeros,
+                        (out_channels,),
+                        jnp.float32,
+                    ),
+                )
+            else:
+                raise ValueError(f"Unsupported conv_layer_order char: {char!r}")
+        return x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_channels < self.out_channels:
+            mid = self.out_channels // 2
+        else:
+            mid = self.out_channels
+        x = self._block(x, 1, mid)
+        x = self._block(x, 2, self.out_channels)
+        return x
+
+
+class Encoder(nn.Module):
+    in_channels: int
+    out_channels: int
+    pool: bool = True
+    order: str = "crg"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pool:
+            x = max_pool_3d(x)
+        return DoubleConv(
+            self.in_channels,
+            self.out_channels,
+            self.order,
+            compute_dtype=self.compute_dtype,
+            name="double_conv",
+        )(x)
+
+
+class Decoder(nn.Module):
+    in_channels: int
+    out_channels: int
+    interpolate: bool = True
+    order: str = "crg"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, encoder_features: jnp.ndarray, x: jnp.ndarray
+    ) -> jnp.ndarray:
+        if not self.interpolate:
+            raise NotImplementedError(
+                "transposed-conv upsampling is not implemented; the "
+                "reference always runs interpolate=True "
+                "(ref pattern_class.py:85, fill_dict_model default)"
+            )
+        target = encoder_features.shape[1:4]
+        x = resize_trilinear(x, target)
+        x = jnp.concatenate(
+            [encoder_features, x.astype(encoder_features.dtype)], axis=-1
+        )
+        return DoubleConv(
+            self.in_channels,
+            self.out_channels,
+            self.order,
+            compute_dtype=self.compute_dtype,
+            name="double_conv",
+        )(x)
+
+
+class FinalConvHead(nn.Module):
+    """1x1x1 classification head; ``num_conv > 1`` chains convs whose channel
+    counts interpolate linearly from ``init_channels`` down to
+    ``out_channels`` (ref pattern_class.py:357-365)."""
+
+    init_channels: int
+    out_channels: int
+    num_conv: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def channel_schedule(init_channels: int, out_channels: int, num_conv: int):
+        fac = (init_channels - out_channels) / num_conv
+        chans = [init_channels - round(n * fac) for n in range(num_conv + 1)]
+        chans[-1] = init_channels - round(num_conv * fac)
+        return chans
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.compute_dtype == jnp.float32
+            else None
+        )
+        if self.num_conv <= 1:
+            return nn.Conv(
+                self.out_channels,
+                (1, 1, 1),
+                use_bias=True,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                precision=precision,
+                name="conv",
+            )(x)
+        chans = self.channel_schedule(
+            self.init_channels, self.out_channels, self.num_conv
+        )
+        for n in range(self.num_conv):
+            x = nn.Conv(
+                chans[n + 1],
+                (1, 1, 1),
+                use_bias=True,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                precision=precision,
+                name=str(n),
+            )(x)
+        return x
+
+
+class UNet3D(nn.Module):
+    """Çiçek-style 3D U-Net (see module docstring for the full contract).
+
+    Input: (N, X, Y, Z, in_channels) float; output (N, X, Y, Z, out_channels)
+    float32 logits (train) or probabilities (eval).
+    """
+
+    in_channels: int = 1
+    out_channels: int = 2
+    final_sigmoid: bool = False
+    interpolate: bool = True
+    conv_layer_order: str = "crg"
+    init_channel_number: int = 64
+    dropout: float = 0.0
+    num_conv: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        apply_final_activation: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        i = self.init_channel_number
+        enc_chans = [
+            (self.in_channels, i),
+            (i, 2 * i),
+            (2 * i, 4 * i),
+            (4 * i, 8 * i),
+        ]
+        x = x.astype(self.compute_dtype)
+        skips = []
+        for n, (cin, cout) in enumerate(enc_chans):
+            x = Encoder(
+                cin,
+                cout,
+                pool=(n != 0),
+                order=self.conv_layer_order,
+                compute_dtype=self.compute_dtype,
+                name=f"encoders_{n}",
+            )(x)
+            if self.dropout > 0:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            skips.insert(0, x)
+        skips = skips[1:]  # deepest output is the decoder input, not a skip
+
+        dec_chans = [
+            (4 * i + 8 * i, 4 * i),
+            (2 * i + 4 * i, 2 * i),
+            (i + 2 * i, i),
+        ]
+        for n, ((cin, cout), skip) in enumerate(zip(dec_chans, skips)):
+            x = Decoder(
+                cin,
+                cout,
+                interpolate=self.interpolate,
+                order=self.conv_layer_order,
+                compute_dtype=self.compute_dtype,
+                name=f"decoders_{n}",
+            )(skip, x)
+
+        x = FinalConvHead(
+            init_channels=i,
+            out_channels=self.out_channels,
+            num_conv=self.num_conv,
+            compute_dtype=self.compute_dtype,
+            name="final_conv",
+        )(x)
+        x = x.astype(jnp.float32)
+
+        if apply_final_activation is None:
+            apply_final_activation = not train
+        if apply_final_activation:
+            x = (
+                jax.nn.sigmoid(x)
+                if self.final_sigmoid
+                else jax.nn.softmax(x, axis=-1)
+            )
+        return x
+
+
+def make_unet(
+    in_channels: int,
+    out_channels: int,
+    final_sigmoid: bool = False,
+    interpolate: bool = True,
+    conv_layer_order: str = "crg",
+    init_channel_number: int = 64,
+    dropout: float = 0.0,
+    num_conv: int = 1,
+    compute_dtype=jnp.bfloat16,
+) -> UNet3D:
+    """Ctor with the torch UNet3D's exact signature (ref training.py:65-67)."""
+    return UNet3D(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        final_sigmoid=final_sigmoid,
+        interpolate=interpolate,
+        conv_layer_order=conv_layer_order,
+        init_channel_number=init_channel_number,
+        dropout=dropout,
+        num_conv=num_conv,
+        compute_dtype=compute_dtype,
+    )
+
+
+def init_params(model: UNet3D, rng: jax.Array, example_shape: Sequence[int]):
+    """Initialize parameters for an input of ``example_shape`` (N,X,Y,Z,C)."""
+    dummy = jnp.zeros(tuple(example_shape), jnp.float32)
+    return model.init(rng, dummy, train=True)["params"]
+
+
+def min_valid_extent() -> int:
+    """Smallest per-axis input extent that survives 3 pooling stages (>=2
+    voxels at the deepest level): 2 -> pools to 2,2,2 — any extent >= 2
+    works thanks to the padded maxpool, but tiny extents waste the MXU;
+    tests use >= 16."""
+    return 2
+
+
+def output_matches_input_shape(in_shape: Tuple[int, ...]) -> bool:
+    """The decoder resizes to each skip's size, so output spatial shape ==
+    input spatial shape by construction."""
+    return True

@@ -1,0 +1,108 @@
+"""Elementary-fold cutting: threshold-gated re-segmentation + majority vote.
+
+Native equivalent of ``deepsulci.sulci_labeling.method.cutting.cutting``,
+whose source is outside the reference repo.  The observable contract is
+pinned at ref pattern_class.py:229-234 (SURVEY.md §2.3 + README.md:19-23):
+
+    cutting(yscores, vert_notcut, bck2, threshold) -> per-voxel label ids
+
+* ``yscores``     — (n_voxels, n_classes) per-voxel class scores from
+  :meth:`labeling` (ref pattern_class.py:275-277);
+* ``vert_notcut`` — elementary-fold vertex id per voxel, taken from the
+  *uncut* graph aligned by lexicographic sort on native coords;
+* ``bck2``        — voxel integer coordinates;
+* ``threshold``   — minimum voxel count for a cut.
+
+Semantics (README.md:22 "cutting threshold ... labellisation de chaque
+elementary fold par vote"): within each elementary fold, voxels are grouped
+by their argmax label; labels whose voxel count reaches ``threshold`` define
+the fold's sub-parts (split along 26-connected components); voxels of
+sub-threshold minority labels are merged into the nearest surviving part.
+Every resulting part is relabelled by majority vote of the summed voxel
+scores.  A fold with no second label above threshold is NOT cut and is
+relabelled whole by score vote.
+
+This is post-processing outside the jit hot loop, so it runs on host numpy/
+scipy (per SURVEY.md §2.3 plan); the voxels-of-interest score gather that
+feeds it is produced on-device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def _components(points: np.ndarray) -> np.ndarray:
+    """26-connected component id per point (points: (n, 3) ints >= 0)."""
+    if len(points) == 1:
+        return np.zeros(1, dtype=np.int64)
+    lo = points.min(axis=0)
+    pts = points - lo
+    dims = pts.max(axis=0) + 1
+    vol = np.zeros(dims, dtype=bool)
+    vol[pts[:, 0], pts[:, 1], pts[:, 2]] = True
+    labeled, _ = ndimage.label(vol, structure=np.ones((3, 3, 3), dtype=int))
+    return labeled[pts[:, 0], pts[:, 1], pts[:, 2]].astype(np.int64)
+
+
+def _nearest_assignment(
+    src: np.ndarray, dst: np.ndarray
+) -> np.ndarray:
+    """Index into ``dst`` of the nearest dst point for each src point."""
+    # Small per-fold point counts: brute force is fine and deterministic.
+    d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+    return np.argmin(d2, axis=1)
+
+
+def cutting(
+    yscores,
+    vert_notcut,
+    bck2,
+    threshold: int,
+) -> np.ndarray:
+    """Return per-voxel predicted label ids after fold cutting."""
+    yscores = np.asarray(yscores, dtype=np.float64)
+    vert = np.asarray(vert_notcut)
+    bck2 = np.asarray(bck2, dtype=np.int64)
+    n = len(yscores)
+    assert len(vert) == n and len(bck2) == n, "misaligned cutting inputs"
+
+    ypred = np.argmax(yscores, axis=1)
+    out = np.empty(n, dtype=np.int64)
+
+    for v in np.unique(vert):
+        idx = np.nonzero(vert == v)[0]
+        scores = yscores[idx]
+        preds = ypred[idx]
+        labels, counts = np.unique(preds, return_counts=True)
+        big = labels[counts >= threshold]
+
+        if len(big) <= 1:
+            # no cut: whole-fold majority vote on summed scores
+            out[idx] = int(np.argmax(scores.sum(axis=0)))
+            continue
+
+        pts = bck2[idx]
+        is_big = np.isin(preds, big)
+        part_id = np.full(len(idx), -1, dtype=np.int64)
+        next_part = 0
+        # split each surviving label's voxels into connected components
+        for lab in big:
+            sel = np.nonzero(preds == lab)[0]
+            comp = _components(pts[sel])
+            for c in np.unique(comp):
+                part_id[sel[comp == c]] = next_part
+                next_part += 1
+        # attach sub-threshold minority voxels to the nearest surviving part
+        small = np.nonzero(~is_big)[0]
+        if len(small):
+            anchors = np.nonzero(is_big)[0]
+            nearest = _nearest_assignment(pts[small], pts[anchors])
+            part_id[small] = part_id[anchors[nearest]]
+        # relabel each part by majority vote of summed scores
+        for p in np.unique(part_id):
+            sel = part_id == p
+            out[idx[sel]] = int(np.argmax(scores[sel].sum(axis=0)))
+
+    return out

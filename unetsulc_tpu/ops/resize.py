@@ -1,0 +1,66 @@
+"""Trilinear volume resize with exact torch ``align_corners=False`` semantics.
+
+The decoder upsamples the coarse feature map to each skip connection's
+spatial size (torch: ``F.interpolate(x, size=output_size)``, SURVEY.md §2.3
+"trilinear-interpolate decoder").  Implemented as three separable 1-D linear
+interpolations expressed as gathers + lerps — XLA fuses these into cheap
+VPU work, and the pattern is identical in the backward pass (transposed
+gather), so no custom VJP is needed.
+
+Source coordinate convention (half-pixel centers, clamped):
+    src = clamp((dst + 0.5) * in/out - 0.5, 0, in-1)
+which is exactly torch's ``align_corners=False``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_indices_weights(in_size: int, out_size: int):
+    """Static (idx0, idx1, w1) for one axis; computed in numpy at trace time."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    idx0 = np.floor(src).astype(np.int32)
+    idx1 = np.minimum(idx0 + 1, in_size - 1).astype(np.int32)
+    w1 = (src - idx0).astype(np.float32)
+    return idx0, idx1, w1
+
+
+def _interp_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx0, idx1, w1 = _axis_indices_weights(in_size, out_size)
+    a = jnp.take(x, idx0, axis=axis)
+    b = jnp.take(x, idx1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(w1).reshape(shape).astype(x.dtype)
+    return a + (b - a) * w
+
+
+def resize_trilinear(x: jnp.ndarray, target: Sequence[int]) -> jnp.ndarray:
+    """Resize (N, X, Y, Z, C) to spatial ``target`` (X', Y', Z')."""
+    assert x.ndim == 5, "expected (N, X, Y, Z, C)"
+    for axis, out_size in zip((1, 2, 3), target):
+        x = _interp_axis(x, axis, int(out_size))
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, target: Sequence[int]) -> jnp.ndarray:
+    """Nearest-neighbor variant (torch ``mode='nearest'``: src = floor(dst*in/out))."""
+    assert x.ndim == 5
+    for axis, out_size in zip((1, 2, 3), target):
+        in_size = x.shape[axis]
+        if in_size == int(out_size):
+            continue
+        idx = np.floor(
+            np.arange(int(out_size), dtype=np.float64) * (in_size / int(out_size))
+        ).astype(np.int32)
+        x = jnp.take(x, idx, axis=axis)
+    return x

@@ -21,9 +21,9 @@ import time
 
 import numpy as np
 
-# torch-CPU reference baseline, measured in this image (see BASELINE.md):
-# python bench.py --torch-cpu-baseline
-TORCH_CPU_BASELINE_VOXELS_PER_SEC = 130e3  # placeholder until measured
+# torch-CPU reference baseline, measured in this image on 2026-08-16
+# (see BASELINE.md): python bench.py --torch-cpu-baseline
+TORCH_CPU_BASELINE_VOXELS_PER_SEC = 10524.3
 
 VOLUME = (96, 96, 96)
 BATCH = 1
@@ -73,16 +73,20 @@ def bench_jax() -> float:
 
     for _ in range(WARMUP):
         state, loss, _ = step(state, inputs, labels)
-    jax.block_until_ready(state.trainable)
+        float(loss)
 
-    t0 = time.perf_counter()
+    # hard per-step sync (fetch the loss scalar), matching the train loop's
+    # running-loss accounting; block_until_ready alone can return early
+    # through the axon device tunnel and inflate the number ~500x.
+    times = []
     for _ in range(STEPS):
+        t0 = time.perf_counter()
         state, loss, _ = step(state, inputs, labels)
-    jax.block_until_ready(state.trainable)
-    dt = time.perf_counter() - t0
+        float(loss)
+        times.append(time.perf_counter() - t0)
 
-    voxels = BATCH * int(np.prod(VOLUME)) * STEPS
-    return voxels / dt
+    voxels = BATCH * int(np.prod(VOLUME))
+    return voxels / float(np.median(times))
 
 
 def bench_torch_cpu() -> float:
@@ -100,7 +104,7 @@ def bench_torch_cpu() -> float:
     rng = np.random.default_rng(0)
     inputs, labels = _make_batch(rng, BATCH, VOLUME)
     x = torch.from_numpy(inputs).permute(0, 4, 1, 2, 3)
-    y = torch.from_numpy(labels)
+    y = torch.from_numpy(labels.astype(np.int64))
 
     steps = 3
     # warmup

@@ -102,3 +102,54 @@ def test_mdsm_blocks_malicious_globals(tmp_path):
         )
     with pytest.raises(Exception):
         read_state_dict(evil)
+
+
+def test_arg_roundtrip(graph, tmp_path):
+    """.arg text + .data/.bck round-trip (binar and ascii buckets)."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+    from unetsulc_tpu.io.arg_writer import save_graph_arg
+
+    for ascii_mode in (False, True):
+        p = str(tmp_path / f"g_{ascii_mode}.arg")
+        save_graph_arg(graph, p, ascii_buckets=ascii_mode)
+        back = load_graph_arg(p)
+        assert back.voxel_size == graph.voxel_size
+        np.testing.assert_allclose(
+            back.talairach.matrix(), graph.talairach.matrix(), atol=1e-6
+        )
+        va, vb = graph.vertices(), back.vertices()
+        assert [v.index for v in va] == [v.index for v in vb]
+        assert [v.name for v in va] == [v.name for v in vb]
+        for x, y in zip(va, vb):
+            for bt in x.buckets:
+                np.testing.assert_array_equal(x.buckets[bt], y.buckets[bt])
+
+
+def test_arg_reader_via_read_graph(graph, tmp_path):
+    from unetsulc_tpu.io.arg_writer import save_graph_arg
+    from unetsulc_tpu.io.container import read_graph
+
+    p = str(tmp_path / "g.arg")
+    save_graph_arg(graph, p)
+    back = read_graph(p)
+    assert back.npoints() == graph.npoints()
+
+
+def test_bck_int32_coords(tmp_path):
+    """Reader auto-detects int32 coordinate width."""
+    import struct
+
+    from unetsulc_tpu.io.arg_reader import read_bck
+
+    pts = np.array([[1000, -7, 40000]], np.int32)  # overflows int16
+    p = str(tmp_path / "wide.bck")
+    with open(p, "wb") as f:
+        f.write(b"binar")
+        f.write(struct.pack("<I", 0x41424344))
+        f.write(struct.pack("<I", 4) + b"VOID")
+        f.write(struct.pack("<4f", 1, 1, 1, 1))
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack("<II", 0, 1))
+        f.write(pts.astype("<i4").tobytes())
+    out = read_bck(p)
+    np.testing.assert_array_equal(out[0], pts)

@@ -124,6 +124,10 @@ class TpuConfig:
     prefetch: int = 2
     # reference parity: rebuild optimizer (reset momentum) on lr division
     reset_momentum_on_divide: bool = True
+    # orbax epoch snapshots every N epochs (0 = off)
+    checkpoint_every: int = 0
+    # resume: skip completed CV folds and restore mid-fold epoch snapshots
+    resume: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TpuConfig":

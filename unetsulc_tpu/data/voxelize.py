@@ -52,6 +52,7 @@ def voxelize(
     img_size: Optional[Sequence[int]] = None,
     background: int = _BACKGROUND,
     dtype=np.float32,
+    use_native: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Scatter points into (input, labels) dense volumes.
 
@@ -69,6 +70,15 @@ def voxelize(
     if img_size is None:
         img_size = np.max(bck2, axis=0) + 1 if len(bck2) else np.ones(3, int)
     sx, sy, sz = (int(s) for s in img_size)
+    if use_native is None:
+        use_native = dtype == np.float32
+    if use_native:
+        from unetsulc_tpu import runtime
+
+        if runtime.native_available():
+            return runtime.voxelize_native(
+                bck2, label_ids, (sx, sy, sz), background=background
+            )
     vol_in = np.zeros((sx, sy, sz, 1), dtype=dtype)
     vol_lb = np.full((sx, sy, sz), background, dtype=np.int32)
     if len(bck2):

@@ -150,7 +150,30 @@ def run_experiment(params: Parameters):
         np.asarray(notcut_graphs) if notcut_graphs is not None else None
     )
 
+    # fold-level resume (no reference counterpart; the reference writes
+    # results only at the very end, main.py:147, so a crash loses the run)
+    completed_folds = 0
+    results_path = op.join(
+        params.working_path, "results", model_name + "_results.json"
+    )
+    if params.tpu.resume and os.path.exists(results_path):
+        with open(results_path, "r") as f:
+            prior = json.load(f)
+        if prior.get("lr"):
+            # JSON stringifies threshold keys; restore ints so
+            # test_thresholds appends to the same buckets
+            ts = prior.get("threshold_scores", {})
+            prior["threshold_scores"] = {
+                (int(k) if str(k).lstrip("-").isdigit() else k): v
+                for k, v in ts.items()
+            }
+            method.results = prior
+            completed_folds = len(prior["lr"])
+            print(f"Resuming: {completed_folds} fold(s) already complete")
+
     for cvi, (train, test) in enumerate(kf.split(graphs)):
+        if cvi < completed_folds:
+            continue
         print(
             "\n== Cross Validation {}/{} ==\n".format(cvi, params.n_cvinner - 1)
         )
@@ -174,6 +197,7 @@ def run_experiment(params: Parameters):
                 threshold_range=params.th_range,
             )
         method.save_model(name=model_name + "_cv" + str(cvi))
+        method.save_results()  # crash-safe: persist after every fold
 
     method.save_results()
     cv_time = time.time() - start_time

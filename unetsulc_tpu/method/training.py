@@ -259,8 +259,50 @@ class TrainingSulciLabeller(SulciLabeller):
         sslist_ids = [self.dict_sulci[ss] for ss in self.sslist]
         epoch_loss = 0.0
 
+        # epoch-level checkpointing / resume (no reference counterpart;
+        # SURVEY.md §5 plan)
+        ckptr = None
+        start_epoch = 0
+        curve_keys = [
+            f"epoch_{m}_{p}" for m in ("loss", "acc") for p in ("train", "val")
+        ]
+        if self.tpu.checkpoint_every > 0:
+            from unetsulc_tpu.train.checkpoint import TrainCheckpointer
+
+            ckptr = TrainCheckpointer(
+                os.path.join(
+                    self.working_path,
+                    "checkpoints",
+                    self.model_name,
+                    f"cv{num_training}",
+                )
+            )
+            if self.tpu.resume and ckptr.latest() is not None:
+                _, tree, extra = ckptr.restore(
+                    {"state": state, "best": best_params}
+                )
+                state = tree["state"]
+                best_params = jax.tree.map(np.asarray, tree["best"])
+                start_epoch = extra["epoch"] + 1
+                best_acc = extra["best_acc"]
+                best_epoch = extra["best_epoch"]
+                for k, cstate in extra.get("controllers", {}).items():
+                    if k in ctrl:
+                        ctrl[k].__dict__.update(cstate)
+                if save_results:
+                    for key in curve_keys:
+                        fold_curve = extra["fold_results"].get(key, [])
+                        if len(self.results[key]) <= num_training:
+                            self.results[key].append(list(fold_curve))
+                        else:
+                            self.results[key][num_training] = list(fold_curve)
+                    for key in ("divide_lr_epoch", "fine_tunning_epoch"):
+                        if key in extra and key in self.results:
+                            self.results[key] = extra[key]
+                print(f"Resumed from checkpoint at epoch {start_epoch - 1}")
+
         stop = False
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             print("Epoch {}/{}".format(epoch, num_epochs - 1))
             print("-" * 10)
             start_time = time.time()
@@ -291,16 +333,16 @@ class TrainingSulciLabeller(SulciLabeller):
                 if save_results:
                     writer.add_scalar("Loss/" + phase, epoch_loss, epoch)
                     writer.add_scalar("Accuracy/" + phase, epoch_acc, epoch)
-                    if epoch == 0:
-                        self.results["epoch_loss_" + phase].append([epoch_loss])
-                        self.results["epoch_acc_" + phase].append([epoch_acc])
-                    else:
-                        self.results["epoch_loss_" + phase][
-                            num_training
-                        ].append(epoch_loss)
-                        self.results["epoch_acc_" + phase][num_training].append(
-                            epoch_acc
-                        )
+                    # first epoch of this fold opens a new per-fold list
+                    # (handles resume: restored lists are appended to)
+                    for key, val in (
+                        ("epoch_loss_" + phase, epoch_loss),
+                        ("epoch_acc_" + phase, epoch_acc),
+                    ):
+                        if len(self.results[key]) <= num_training:
+                            self.results[key].append([val])
+                        else:
+                            self.results[key][num_training].append(val)
 
                 if phase == "val" and epoch_acc > best_acc:
                     best_acc = epoch_acc
@@ -312,6 +354,29 @@ class TrainingSulciLabeller(SulciLabeller):
             state, stop = self._post_epoch(
                 ctrl, epoch, num_epochs, epoch_loss, state, save_results
             )
+            if ckptr is not None and (epoch + 1) % self.tpu.checkpoint_every == 0:
+                extra = {
+                    "epoch": epoch,
+                    "best_acc": float(best_acc),
+                    "best_epoch": int(best_epoch),
+                    "controllers": {
+                        k: {
+                            kk: vv
+                            for kk, vv in c.__dict__.items()
+                            if isinstance(vv, (int, float, bool, type(None)))
+                        }
+                        for k, c in ctrl.items()
+                    },
+                    "fold_results": {
+                        key: self.results[key][num_training]
+                        for key in curve_keys
+                        if save_results and len(self.results[key]) > num_training
+                    },
+                }
+                for key in ("divide_lr_epoch", "fine_tunning_epoch"):
+                    if key in self.results:
+                        extra[key] = self.results[key]
+                ckptr.save(epoch, {"state": state, "best": best_params}, extra)
             print("Epoch took %i s." % (time.time() - start_time))
             print("\n")
             if stop:

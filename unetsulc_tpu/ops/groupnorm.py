@@ -34,7 +34,9 @@ def group_norm(
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
     if use_pallas is None:
-        use_pallas = False  # flipped on by ops.groupnorm_pallas.enable()
+        from unetsulc_tpu.ops.groupnorm_pallas import use_pallas_for
+
+        use_pallas = use_pallas_for(x.shape, x.dtype)
     if use_pallas:
         from unetsulc_tpu.ops.groupnorm_pallas import group_norm_pallas
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,26 +42,20 @@ def confusion_counts(
     t = y_true.reshape(-1)
     p = y_pred.reshape(-1)
     valid = t != background
-    # Clip to a safe class id so one_hot stays in range; invalid rows get
-    # zero weight.
-    t_safe = jnp.clip(t, 0, num_classes - 1)
-    p_safe = jnp.clip(p, 0, num_classes - 1)
-    w = valid.astype(jnp.int32)
-    t_oh = (
-        jnp.zeros((num_classes,), jnp.int32)
-        .at[t_safe]
-        .add(w)
-    )
-    p_oh = (
-        jnp.zeros((num_classes,), jnp.int32)
-        .at[p_safe]
-        .add(w)
-    )
-    match = w * (t == p).astype(jnp.int32)
-    tp = jnp.zeros((num_classes,), jnp.int32).at[t_safe].add(match)
-    fp = p_oh - tp
-    fn = t_oh - tp
-    return jnp.stack([tp, fp, fn])
+    # One-hot weighted column sums instead of scatter-adds: scatters
+    # serialize on TPU (~6 ms/step at 884k voxels, profiled); the one-hot
+    # comparison + reduction fuses onto the VPU.
+    classes = jax.lax.broadcasted_iota(t.dtype, (1, num_classes), 1)
+    w = valid.astype(jnp.float32)
+    t_oh = (t[:, None] == classes).astype(jnp.float32)
+    p_oh = (p[:, None] == classes).astype(jnp.float32)
+    match = w * (t == p).astype(jnp.float32)
+    t_counts = jnp.sum(t_oh * w[:, None], axis=0)
+    p_counts = jnp.sum(p_oh * w[:, None], axis=0)
+    tp = jnp.sum(t_oh * match[:, None], axis=0)
+    fp = p_counts - tp
+    fn = t_counts - tp
+    return jnp.stack([tp, fp, fn]).astype(jnp.int32)
 
 
 def esi_from_counts(counts: np.ndarray, label_ids: Sequence[int]) -> float:

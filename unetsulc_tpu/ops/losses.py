@@ -21,12 +21,20 @@ def cross_entropy_ignore(
     """Mean CE over voxels where labels != ignore_index.
 
     logits: (..., C) float; labels: (...) int.
+
+    Written gather-free: ``take_along_axis`` would lower its backward to a
+    scatter over the full (voxels, C) tensor — ~20 ms/step of HBM traffic
+    at 96^3 x 63 on v5e (profiled).  The one-hot masked-sum formulation
+    keeps both passes as fusable elementwise+reduce work.
     """
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
-    safe = jnp.clip(labels, 0, num_classes - 1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    logits32 = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits32, axis=-1)
+    onehot = labels[..., None] == jax.lax.broadcasted_iota(
+        labels.dtype, (1,) * labels.ndim + (num_classes,), labels.ndim
+    )
+    picked = jnp.sum(jnp.where(onehot, logits32, 0.0), axis=-1)
+    nll = jnp.where(valid, lse - picked, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count

@@ -80,7 +80,9 @@ def plot_cohort_features(
 
     fig, ax = plt.subplots(figsize=(8, max(3, 0.25 * len(sulci))))
     ax.boxplot(
-        [feats["sizes"][s] for s in sulci], vert=False, tick_labels=sulci
+        [feats["sizes"][s] for s in sulci],
+        orientation="horizontal",
+        tick_labels=sulci,
     )
     ax.set_xlabel("voxels per subject")
     _save(fig, "sizes_box")

@@ -122,9 +122,13 @@ class TrainingSulciLabeller(SulciLabeller):
         epoch: int,
         sharding=None,
     ):
-        """One phase of one epoch. Returns (state, epoch_loss, counts)."""
+        """One phase of one epoch. Returns (state, epoch_loss, counts, perf)."""
+        from unetsulc_tpu.utils.profiling import EpochTimer
+
+        timer = EpochTimer()
         running_loss = 0.0
         counts = np.zeros((3, len(self.sulci_side_list)), np.int64)
+        vox_per_sample = int(np.prod(img_size))
         batches = iterate_batches(dataset, batch_size, img_size, epoch=epoch)
         for inputs, labels, real in device_iterator(
             batches, sharding=sharding, prefetch=self.tpu.prefetch
@@ -135,8 +139,9 @@ class TrainingSulciLabeller(SulciLabeller):
                 loss, c = step_fn(state.params, inputs, labels)
             running_loss += float(loss) * real
             counts += np.asarray(c, np.int64)
+            timer.add_batch(real * vox_per_sample)
         epoch_loss = running_loss / len(dataset)
-        return state, epoch_loss, counts
+        return state, epoch_loss, counts, timer.finish()
 
     def _controllers(self, patience: Dict[str, int]):
         ctrl = {}
@@ -313,7 +318,7 @@ class TrainingSulciLabeller(SulciLabeller):
                 img_size = (
                     train_img_size if phase == "train" else val_img_size
                 )
-                state, epoch_loss, counts = self._epoch_pass(
+                state, epoch_loss, counts, perf = self._epoch_pass(
                     phase,
                     state,
                     step_fn,
@@ -325,10 +330,14 @@ class TrainingSulciLabeller(SulciLabeller):
                 )
                 epoch_acc = 1 - esi_from_counts(counts, sslist_ids)
                 print(
-                    "{} Loss: {:.4f} Acc: {:.4f}".format(
-                        phase, epoch_loss, epoch_acc
+                    "{} Loss: {:.4f} Acc: {:.4f} ({:,.0f} voxels/s)".format(
+                        phase, epoch_loss, epoch_acc, perf["voxels_per_sec"]
                     )
                 )
+                if save_results:
+                    self.results.setdefault(
+                        "voxels_per_sec_" + phase, []
+                    ).append(perf["voxels_per_sec"])
 
                 if save_results:
                     writer.add_scalar("Loss/" + phase, epoch_loss, epoch)

@@ -122,10 +122,72 @@ def bench_torch_cpu() -> float:
     return BATCH * int(np.prod(VOLUME)) * steps / dt
 
 
+def bench_label_latency() -> float:
+    """p50 single-volume labeling latency (BASELINE.json metric #2):
+    eval forward + softmax + voxel-of-interest gather on one 96^3 volume."""
+    import jax
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.models.unet3d import UNet3D
+    from unetsulc_tpu.train.step import make_predict_fn
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=OUT_CHANNELS,
+        init_channel_number=INIT_CH,
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    inputs, _ = _make_batch(rng, 1, VOLUME)
+    n_vox = 30000
+    coords = rng.integers(0, VOLUME[0], size=(3, n_vox))
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
+    )["params"]
+
+    def apply_fn(params, x, train=True):
+        return model.apply({"params": params}, x, train=train)
+
+    predict = make_predict_fn(apply_fn)
+
+    @jax.jit
+    def label(params, x, cx, cy, cz):
+        out = predict(params, x)[0]
+        scores = out[cx, cy, cz, :]
+        return jnp.argmax(scores, axis=-1), scores
+
+    x = jax.device_put(jnp.asarray(inputs))
+    c = [jax.device_put(jnp.asarray(v)) for v in coords]
+    ypred, scores = label(params, x, *c)  # compile
+    np.asarray(ypred)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        ypred, scores = label(params, x, *c)
+        np.asarray(ypred), np.asarray(scores)
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch-cpu-baseline", action="store_true")
+    ap.add_argument("--latency", action="store_true")
     args = ap.parse_args()
+
+    if args.latency:
+        p50 = bench_label_latency()
+        print(
+            json.dumps(
+                {
+                    "metric": "label_latency_p50",
+                    "value": round(p50 * 1e3, 2),
+                    "unit": "ms/volume",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
 
     if args.torch_cpu_baseline:
         v = bench_torch_cpu()

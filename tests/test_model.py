@@ -148,3 +148,35 @@ def test_swap_final_conv():
     model9 = small_unet(out_channels=9)
     out = model9.apply({"params": new_params}, x, train=True)
     assert out.shape == (1, 16, 16, 16, 9)
+
+
+def test_remat_same_numerics():
+    """remat=True changes memory, not values: same forward and grads."""
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 12, 12, 12, 1)).astype(np.float32)
+    )
+    labels = jnp.asarray(
+        np.random.default_rng(6).integers(-1, 5, size=(1, 12, 12, 12)), dtype=jnp.int32
+    )
+    from unetsulc_tpu.ops.losses import cross_entropy_ignore
+
+    outs = []
+    for remat in (False, True):
+        model = UNet3D(
+            in_channels=1,
+            out_channels=5,
+            init_channel_number=8,
+            compute_dtype=jnp.float32,
+            remat=remat,
+        )
+        params = model.init(jax.random.key(7), x, train=True)["params"]
+
+        def loss_fn(p):
+            return cross_entropy_ignore(
+                model.apply({"params": p}, x, train=True), labels
+            )
+
+        outs.append((loss_fn(params), jax.grad(loss_fn)(params)))
+    np.testing.assert_allclose(float(outs[0][0]), float(outs[1][0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -124,6 +124,8 @@ class TpuConfig:
     prefetch: int = 2
     # reference parity: rebuild optimizer (reset momentum) on lr division
     reset_momentum_on_divide: bool = True
+    # rematerialize U-Net blocks in backward (memory for FLOPs trade)
+    remat: bool = False
     # orbax epoch snapshots every N epochs (0 = off)
     checkpoint_every: int = 0
     # resume: skip completed CV folds and restore mid-fold epoch snapshots

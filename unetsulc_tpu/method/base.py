@@ -179,6 +179,7 @@ class SulciLabeller:
                 if self.tpu.compute_dtype == "bfloat16"
                 else jnp.float32
             ),
+            remat=self.tpu.remat,
         )
         kw.update(over)
         return UNet3D(**kw)

@@ -271,6 +271,11 @@ class UNet3D(nn.Module):
     dropout: float = 0.0
     num_conv: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # rematerialize each encoder/decoder block in the backward pass:
+    # trades ~1 extra forward of FLOPs for not storing block activations
+    # in HBM - enables full-resolution hemispheres on one chip
+    # (jax.checkpoint; see SURVEY.md §5 long-context analogue)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -287,9 +292,11 @@ class UNet3D(nn.Module):
             (4 * i, 8 * i),
         ]
         x = x.astype(self.compute_dtype)
+        enc_cls = nn.remat(Encoder) if self.remat else Encoder
+        dec_cls = nn.remat(Decoder) if self.remat else Decoder
         skips = []
         for n, (cin, cout) in enumerate(enc_chans):
-            x = Encoder(
+            x = enc_cls(
                 cin,
                 cout,
                 pool=(n != 0),
@@ -308,7 +315,7 @@ class UNet3D(nn.Module):
             (i + 2 * i, i),
         ]
         for n, ((cin, cout), skip) in enumerate(zip(dec_chans, skips)):
-            x = Decoder(
+            x = dec_cls(
                 cin,
                 cout,
                 interpolate=self.interpolate,

@@ -44,6 +44,7 @@ class ModelConfig:
     final_sigmoid: bool = False
     conv_layer_order: str = "crg"
     num_conv: int = 1
+    dropout: float = 0.0  # deepsulci UNet3D exposes it (ref training.py:66)
     training_layers: List[str] = dataclasses.field(
         default_factory=lambda: ["final_conv"]
     )

@@ -142,6 +142,15 @@ class _Unpickler(pickle.Unpickler):
 
 def read_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch checkpoint into {name: numpy array}."""
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path}: no such checkpoint. Note: the CV driver saves per-fold "
+            "models (models/<name>/<name>_cvK_model.mdsm); a global "
+            "<name>_model.mdsm only exists if save_model() was called "
+            "without a fold name (same as the reference)."
+        )
     if not zipfile.is_zipfile(path):
         return _read_legacy_with_torch(path)
     with zipfile.ZipFile(path, "r") as zf:

@@ -87,6 +87,7 @@ class SulciLabeller:
         self.final_sigmoid = dict_model.get("final_sigmoid", False)
         self.conv_layer_order = dict_model.get("conv_layer_order", "crg")
         self.num_conv = dict_model.get("num_conv", 1)
+        self.dropout = dict_model.get("dropout", 0.0)
         print("Model name: ", self.model_name)
 
         # results
@@ -160,6 +161,12 @@ class SulciLabeller:
         dict_model.setdefault("final_sigmoid", False)
         dict_model.setdefault("interpolate", True)
         dict_model.setdefault("conv_layer_order", "crg")
+        if "init_channel_number" not in dict_model and "num_filter" in dict_model:
+            # saved params files carry the training-side key 'num_filter'
+            # (ref pattern_class.py:318-343) while the loader reads
+            # 'init_channel_number' (ref :348-368) — bridge the two so
+            # saved models reload with their true width
+            dict_model["init_channel_number"] = dict_model["num_filter"]
         dict_model.setdefault("init_channel_number", 64)
         dict_model.setdefault("model_file", _DEFAULT_MODELS[self.hemi])
         dict_model.setdefault("num_conv", 1)
@@ -174,6 +181,7 @@ class SulciLabeller:
             conv_layer_order=self.conv_layer_order,
             init_channel_number=self.num_filter,
             num_conv=self.num_conv,
+            dropout=self.dropout,
             compute_dtype=(
                 jnp.bfloat16
                 if self.tpu.compute_dtype == "bfloat16"

@@ -57,11 +57,18 @@ def _cached_steps(model_def, num_classes: int, momentum: float):
     (the reference pays a fresh optimizer+model per fold instead,
     ref main.py:131-137)."""
 
-    def apply_fn(params, inputs, train=True):
-        return model_def.apply({"params": params}, inputs, train=train)
+    def apply_fn(params, inputs, train=True, rngs=None):
+        return model_def.apply(
+            {"params": params}, inputs, train=train, rngs=rngs
+        )
 
     return (
-        make_train_step(apply_fn, num_classes, momentum=momentum),
+        make_train_step(
+            apply_fn,
+            num_classes,
+            momentum=momentum,
+            use_dropout=model_def.dropout > 0,
+        ),
         make_eval_step(apply_fn, num_classes),
     )
 

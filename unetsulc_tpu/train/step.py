@@ -102,18 +102,30 @@ def make_train_step(
     momentum: float = 0.9,
     background: int = -1,
     donate: bool = True,
+    use_dropout: bool = False,
 ):
     """Build the jitted train step.
 
-    apply_fn(params, inputs, train=True) -> logits (N, X, Y, Z, C).
+    apply_fn(params, inputs, train=True[, rngs=...]) -> logits (N,X,Y,Z,C).
     Returns step(state, inputs, labels) -> (state, loss, confusion(3,C)).
     The state is donated: buffers are updated in place in HBM.
+    ``use_dropout`` threads a per-step PRNG (folded from ``state.step``)
+    into the model's 'dropout' stream (the deepsulci UNet3D exposes a
+    dropout rate, ref training.py:66 — always 0 in the reference configs).
     """
 
     def step(state: TrainState, inputs, labels):
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
-            logits = apply_fn(params, inputs, train=True)
+            if use_dropout:
+                rngs = {
+                    "dropout": jax.random.fold_in(
+                        jax.random.key(0), state.step
+                    )
+                }
+                logits = apply_fn(params, inputs, train=True, rngs=rngs)
+            else:
+                logits = apply_fn(params, inputs, train=True)
             loss = cross_entropy_ignore(logits, labels, background)
             return loss, logits
 

@@ -186,3 +186,79 @@ def test_threshold_vote_semantics():
     assert per_fold[2] == 50
     # flattened tie lists: [10, 50, 10, 50, 50] -> majority 50
     assert best == 50
+
+
+def test_evaluate_option_writes_csvs(cohort_dir, tmp_path):
+    """tpu.evaluate=true emits per-fold evaluation CSVs from the driver."""
+    import shutil
+
+    from unetsulc_tpu.config import Parameters
+    from unetsulc_tpu.experiment.driver import run_experiment
+
+    wp = str(tmp_path / "wp")
+    shutil.copytree(str(cohort_dir / "cohorts"), op.join(wp, "cohorts"))
+    params = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 2,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 1,
+            "th_range": [],
+            "dict_model": {"name": "EvalDriver", "num_filter": 8},
+            "tpu": {"compute_dtype": "float32", "prefetch": 0, "evaluate": True},
+        }
+    )
+    run_experiment(params)
+    import pandas as pd
+
+    for cvi in range(2):
+        csv = op.join(
+            wp,
+            "evaluations",
+            "EvalDriver",
+            f"EvalDriver_cv{cvi}",
+            "cohort-Synth6_hemi-L.csv",
+        )
+        assert op.exists(csv)
+        df = pd.read_csv(csv)
+        assert "ESI" in df.columns and len(df) == 3
+
+
+def test_run_both_hemispheres(cohort_dir, tmp_path):
+    import shutil
+
+    from unetsulc_tpu.config import Parameters
+    from unetsulc_tpu.experiment.driver import run_both_hemispheres
+
+    wp = str(tmp_path / "wp")
+    shutil.copytree(str(cohort_dir / "cohorts"), op.join(wp, "cohorts"))
+    # mirror the L cohort as R for the test
+    shutil.copy(
+        op.join(wp, "cohorts", "cohort-Synth6_hemi-L.json"),
+        op.join(wp, "cohorts", "cohort-Synth6_hemi-R.json"),
+    )
+    params = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 2,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 1,
+            "th_range": [],
+            "dict_model": {"name": "BothH", "num_filter": 8},
+            "tpu": {"compute_dtype": "float32", "prefetch": 0},
+        }
+    )
+    results = run_both_hemispheres(params)
+    assert set(results) == {"L", "R"}
+    for hemi in ("L", "R"):
+        assert op.exists(
+            op.join(wp, "results", f"BothH_hemi{hemi}_results.json")
+        )

@@ -131,6 +131,8 @@ class TpuConfig:
     checkpoint_every: int = 0
     # resume: skip completed CV folds and restore mid-fold epoch snapshots
     resume: bool = False
+    # write per-fold evaluation CSVs (evaluations/<model>/<model>_cvK/...)
+    evaluate: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TpuConfig":

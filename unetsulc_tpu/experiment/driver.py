@@ -198,6 +198,16 @@ def run_experiment(params: Parameters):
             )
         method.save_model(name=model_name + "_cv" + str(cvi))
         method.save_results()  # crash-safe: persist after every fold
+        if params.tpu.evaluate:
+            from unetsulc_tpu.experiment.evaluation import evaluate_cohort
+
+            evaluate_cohort(
+                method,
+                glist_test,
+                model_name,
+                f"{model_name}_cv{cvi}",
+                params.cohort_file(),
+            )
 
     method.save_results()
     cv_time = time.time() - start_time
@@ -226,4 +236,25 @@ def run_experiment(params: Parameters):
             )
         method.save_params(best_threshold=best_th)
         print("\nBest Threshold: ", best_th)
+    return results
+
+
+def run_both_hemispheres(params: Parameters):
+    """BASELINE.json config #5: the full L+R study as one call.
+
+    The reference runs one hemisphere per invocation (main.py reads a
+    single `hemi`); this helper runs both.  Each hemisphere is an
+    independent experiment (own cohort file / model / artifacts) — the
+    experiment-level parallelism unit of SURVEY.md §2.2c; on a multi-slice
+    deployment each call maps to its own device group.
+    """
+    import copy as _copy
+
+    results = {}
+    for hemi in ("L", "R"):
+        p = _copy.deepcopy(params)
+        p.hemi = hemi
+        if not p.dict_model.name.endswith(f"_hemi{hemi}"):
+            p.dict_model.name = f"{p.dict_model.name}_hemi{hemi}"
+        results[hemi] = run_experiment(p)
     return results

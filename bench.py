@@ -75,18 +75,20 @@ def bench_jax() -> float:
         state, loss, _ = step(state, inputs, labels)
         float(loss)
 
-    # hard per-step sync (fetch the loss scalar), matching the train loop's
-    # running-loss accounting; block_until_ready alone can return early
-    # through the axon device tunnel and inflate the number ~500x.
-    times = []
+    # measure exactly like the training loop (method/training._epoch_pass):
+    # losses accumulate on device, one scalar fetch at the end.  The fetch
+    # is a true data-dependency sync on all steps; bare block_until_ready
+    # can return early through the axon device tunnel.
+    t0 = time.perf_counter()
+    loss_terms = []
     for _ in range(STEPS):
-        t0 = time.perf_counter()
         state, loss, _ = step(state, inputs, labels)
-        float(loss)
-        times.append(time.perf_counter() - t0)
+        loss_terms.append(loss)
+    float(sum(loss_terms))
+    dt = time.perf_counter() - t0
 
-    voxels = BATCH * int(np.prod(VOLUME))
-    return voxels / float(np.median(times))
+    voxels = BATCH * int(np.prod(VOLUME)) * STEPS
+    return voxels / dt
 
 
 def bench_torch_cpu() -> float:

@@ -262,3 +262,66 @@ def test_run_both_hemispheres(cohort_dir, tmp_path):
         assert op.exists(
             op.join(wp, "results", f"BothH_hemi{hemi}_results.json")
         )
+
+
+def test_transfer_learning_experiment(experiment_results, cohort_dir, tmp_path):
+    """Full transfer-learning CV (pretrained .mdsm -> head swap -> fine
+    tuning) through run_experiment, starting from the SmokeModel fold-0
+    checkpoint (multi-conv head variant: num_conv=2)."""
+    import shutil
+
+    params, _ = experiment_results
+    wp_src = params.working_path
+    wp = str(tmp_path / "wp")
+    shutil.copytree(op.join(wp_src, "cohorts"), op.join(wp, "cohorts"))
+
+    tparams = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "learning": "transfer_learning",
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 2,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 2,
+            "th_range": [10],
+            "dict_model": {
+                "name": "TransferSmoke",
+                "num_filter": 8,
+                "training_layers": ["final_conv"],
+                "fine_tunning_layers": ["decoders.2"],
+                "num_conv": 2,
+            },
+            "dict_trained_model": {
+                "model_file": op.join(
+                    wp_src, "models", "SmokeModel", "SmokeModel_cv0_model.mdsm"
+                ),
+                "out_channels": op.join(
+                    wp_src, "models", "SmokeModel", "SmokeModel_cv0_params.json"
+                ),
+                "init_channel_number": 8,
+            },
+            "patience": {"fine_tunning": 1},
+            "tpu": {"compute_dtype": "float32", "prefetch": 0},
+        }
+    )
+    results = run_experiment(tparams)
+    # transfer schema (ref transfer_learning.py:82-97)
+    assert "num_epoch" in results and results["num_epoch"] == [2, 2]
+    assert "fine_tunning_epoch" in results
+    # forced unfreeze at int(0.8*2)=1 -> at least one trigger per fold
+    assert len(results["fine_tunning_epoch"]) >= 1
+    assert len(results["best_acc"]) == 2
+    assert op.exists(
+        op.join(wp, "models", "TransferSmoke", "TransferSmoke_cv0_model.mdsm")
+    )
+
+
+def test_missing_cohort_error(tmp_path):
+    params = Parameters.from_dict(
+        {"working_path": str(tmp_path), "cohort_name": "Nope", "hemi": "L"}
+    )
+    with pytest.raises(FileNotFoundError, match="cohort file not found"):
+        run_experiment(params)

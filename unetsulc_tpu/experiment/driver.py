@@ -30,6 +30,12 @@ def load_cohort(params: Parameters):
     """Read the cohort JSON -> (graphs, notcut_graphs|None) (ref main.py:71-84)."""
     cohort_file = params.cohort_file()
     path = op.join(params.working_path, "cohorts", cohort_file + ".json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"cohort file not found: {path}\n"
+            f"Expected working_path/cohorts/{cohort_file}.json "
+            "(build one with unetsulc_tpu.tools.select_subjects.create_cohort)"
+        )
     with open(path, "r") as f:
         cohort = json.load(f)
     graphs, notcut_graphs = [], []

@@ -129,12 +129,19 @@ class TrainingSulciLabeller(SulciLabeller):
         epoch: int,
         sharding=None,
     ):
-        """One phase of one epoch. Returns (state, epoch_loss, counts, perf)."""
+        """One phase of one epoch. Returns (state, epoch_loss, counts, perf).
+
+        Loss and confusion counts are accumulated ON DEVICE and fetched
+        once at epoch end: a per-batch ``float(loss)`` host sync costs a
+        full device round-trip (~27 ms through the axon tunnel,
+        BASELINE.md) and would serialize dispatch against compute.  The
+        epoch numbers are identical — the weighted loss sum is associative.
+        """
         from unetsulc_tpu.utils.profiling import EpochTimer
 
         timer = EpochTimer()
-        running_loss = 0.0
-        counts = np.zeros((3, len(self.sulci_side_list)), np.int64)
+        loss_terms = []  # device scalars; summed lazily, fetched once
+        count_terms = []
         vox_per_sample = int(np.prod(img_size))
         batches = iterate_batches(dataset, batch_size, img_size, epoch=epoch)
         for inputs, labels, real in device_iterator(
@@ -144,9 +151,11 @@ class TrainingSulciLabeller(SulciLabeller):
                 state, loss, c = step_fn(state, inputs, labels)
             else:
                 loss, c = step_fn(state.params, inputs, labels)
-            running_loss += float(loss) * real
-            counts += np.asarray(c, np.int64)
+            loss_terms.append(loss * real)
+            count_terms.append(c)
             timer.add_batch(real * vox_per_sample)
+        running_loss = float(sum(loss_terms))
+        counts = np.asarray(sum(count_terms), np.int64)
         epoch_loss = running_loss / len(dataset)
         return state, epoch_loss, counts, timer.finish()
 

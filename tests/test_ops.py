@@ -121,3 +121,13 @@ def test_cutting_respects_folds():
     out = cutting(_scores(preds, 3), vert, pts, threshold=100)
     np.testing.assert_array_equal(out[:6], 0)
     np.testing.assert_array_equal(out[6:], 1)
+
+
+def test_resize_matmul_equals_gather():
+    from unetsulc_tpu.ops.resize import resize_trilinear
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 5, 9, 6, 4)).astype(np.float32))
+    a = resize_trilinear(x, (9, 17, 11), use_matmul=True)
+    b = resize_trilinear(x, (9, 17, 11), use_matmul=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

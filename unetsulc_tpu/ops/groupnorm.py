@@ -42,12 +42,28 @@ def group_norm(
 
         return group_norm_pallas(x, num_groups, scale, bias, eps)
 
+    # Group statistics via per-channel reductions + a static (C, G)
+    # indicator contraction: channels stay on the lane dimension end to
+    # end (reshaping C -> (G, C/G) would relayout the lanes), and XLA gets
+    # one fused pass for sums and one for normalize.
     orig_dtype = x.dtype
     n = x.shape[0]
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(x.shape)
-    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(n, -1, c)
+    s = xf.shape[1]
+    indicator = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    ).astype(jnp.float32)
+    ch_sum = jnp.sum(xf, axis=1)  # (n, C)
+    ch_sq = jnp.sum(xf * xf, axis=1)  # (n, C)
+    denom = float(s * cg)
+    mean_g = (ch_sum @ indicator) / denom  # (n, G)
+    var_g = (ch_sq @ indicator) / denom - mean_g**2
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = (mean_g @ indicator.T)[:, None, :]  # (n, 1, C)
+    inv_c = (inv_g @ indicator.T)[:, None, :]
+    out = (xf - mean_c) * (
+        inv_c * scale.astype(jnp.float32)
+    ) + bias.astype(jnp.float32)
+    return out.reshape(x.shape).astype(orig_dtype)

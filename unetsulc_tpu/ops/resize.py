@@ -44,11 +44,41 @@ def _interp_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     return a + (b - a) * w
 
 
-def resize_trilinear(x: jnp.ndarray, target: Sequence[int]) -> jnp.ndarray:
-    """Resize (N, X, Y, Z, C) to spatial ``target`` (X', Y', Z')."""
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Static (out, in) linear-interpolation matrix for one axis."""
+    idx0, idx1, w1 = _axis_indices_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, idx0), 1.0 - w1)
+    np.add.at(m, (rows, idx1), w1)
+    return m
+
+
+def _interp_axis_matmul(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    m = jnp.asarray(_interp_matrix(in_size, out_size), dtype=x.dtype)
+    # contract the axis with the interpolation matrix on the MXU
+    out = jnp.tensordot(x, m, axes=[[axis], [1]])  # moves result axis last
+    return jnp.moveaxis(out, -1, axis)
+
+
+def resize_trilinear(
+    x: jnp.ndarray, target: Sequence[int], use_matmul: bool = True
+) -> jnp.ndarray:
+    """Resize (N, X, Y, Z, C) to spatial ``target`` (X', Y', Z').
+
+    Two equivalent implementations (same half-pixel weights):
+    * matmul (default): each axis is contracted with a static (out, in)
+      interpolation matrix — dense MXU work, no gathers, no relayout
+      copies in fwd or bwd (the transpose is just the matrix transposed);
+    * gather: take + lerp per axis (kept for reference/parity tests).
+    """
     assert x.ndim == 5, "expected (N, X, Y, Z, C)"
+    interp = _interp_axis_matmul if use_matmul else _interp_axis
     for axis, out_size in zip((1, 2, 3), target):
-        x = _interp_axis(x, axis, int(out_size))
+        x = interp(x, axis, int(out_size))
     return x
 
 

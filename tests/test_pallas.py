@@ -78,3 +78,39 @@ def test_use_pallas_policy():
     assert gnp.use_pallas_for((1, 13, 13, 13, 512), jnp.bfloat16) == (
         jax.default_backend() == "tpu"
     )
+
+
+def test_chunked_gn_forward_and_grad(monkeypatch):
+    import unetsulc_tpu.ops.groupnorm_pallas_chunked as gnc
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        gnc.pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    rng = np.random.default_rng(2)
+    shape, groups = (2, 6, 5, 4, 16), 8  # 6 chunks along X
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32))
+
+    ours = gnc.group_norm_pallas_chunked(x, groups, scale, bias)
+    ref = _ref_gn(x, groups, scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+    def loss_c(x, s, b):
+        y = gnc.group_norm_pallas_chunked(x, groups, s, b)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_r(x, s, b):
+        y = _ref_gn(x, groups, s, b)
+        return jnp.sum(y * jnp.cos(y))
+
+    g1 = jax.grad(loss_c, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a).ravel(), np.asarray(b).ravel(),
+            rtol=2e-3, atol=2e-4,
+        )

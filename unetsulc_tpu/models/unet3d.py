@@ -32,7 +32,6 @@ Parameter tree naming intentionally mirrors the torch ``state_dict`` keys
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import partial
 
-import jax
+
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

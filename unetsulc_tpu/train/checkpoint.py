@@ -26,7 +26,6 @@ from typing import Any, Optional, Tuple
 import jax
 import numpy as np
 
-from unetsulc_tpu.train.step import TrainState
 
 
 class TrainCheckpointer:

@@ -22,8 +22,6 @@ reproduces this by default (``apply_activation=True``).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax

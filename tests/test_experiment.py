@@ -325,3 +325,96 @@ def test_missing_cohort_error(tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="cohort file not found"):
         run_experiment(params)
+
+
+def _make_cut_uncut_pair(tmp_path, seed=0):
+    """Uncut graph: 3 big folds. Cut graph: same voxels, folds split in two,
+    vertices shuffled — exercises the lexicographic voxel alignment of
+    test_thresholds (ref pattern_class.py:204-227)."""
+    from unetsulc_tpu.io.container import save_graph_npz
+    from unetsulc_tpu.io.graph import SulcalGraph, Vertex
+
+    rng = np.random.default_rng(seed)
+    labels = ["S.C._left", "S.T.s._left", "F.C.M._left"]
+    uncut_vertices, cut_vertices = [], []
+    for vi, label in enumerate(labels):
+        start = rng.integers(5, 25, size=3)
+        steps = rng.integers(-1, 2, size=(60, 3))
+        pts = np.unique(
+            np.clip(np.cumsum(steps, axis=0) + start, 0, 39), axis=0
+        ).astype(np.int32)
+        uncut_vertices.append(
+            Vertex(index=vi + 1, name=label, buckets={"aims_ss": pts})
+        )
+        half = len(pts) // 2
+        cut_vertices.append(
+            Vertex(index=100 + vi, name=label, buckets={"aims_ss": pts[:half]})
+        )
+        cut_vertices.append(
+            Vertex(index=200 + vi, name=label, buckets={"aims_ss": pts[half:]})
+        )
+    rng.shuffle(cut_vertices)
+    cut = SulcalGraph(vertices=cut_vertices)
+    uncut = SulcalGraph(vertices=uncut_vertices)
+    pc = str(tmp_path / f"cut{seed}.npz")
+    pu = str(tmp_path / f"uncut{seed}.npz")
+    save_graph_npz(cut, pc)
+    save_graph_npz(uncut, pu)
+    return pc, pu
+
+
+def test_threshold_sweep_with_distinct_uncut_graphs(tmp_path):
+    """test_thresholds aligns cut<->uncut voxel orders correctly."""
+    from unetsulc_tpu.config import TpuConfig
+    from unetsulc_tpu.method.training import TrainingSulciLabeller
+
+    pairs = [_make_cut_uncut_pair(tmp_path, seed=s) for s in range(3)]
+    cut_files = [c for c, _ in pairs]
+    uncut_files = [u for _, u in pairs]
+
+    m = TrainingSulciLabeller(
+        cut_files,
+        "L",
+        working_path=str(tmp_path),
+        dict_model={"name": "CutModel", "num_filter": 8},
+        tpu=TpuConfig(compute_dtype="float32", prefetch=0),
+    )
+    m.extract_data_from_graphs()
+    m.load_network()
+    m.results = m._results_schema()
+    m.test_thresholds(cut_files, uncut_files, threshold_range=[5, 1000])
+    scores = m.results["threshold_scores"]
+    assert set(scores) == {5, 1000}
+    # every graph scored (no alignment skips)
+    assert len(scores[5][0]) == 3 and len(scores[1000][0]) == 3
+    for sc in scores[5][0] + scores[1000][0]:
+        assert 0.0 <= sc <= 100.0
+
+
+def test_threshold_sweep_skips_mismatched_graphs(tmp_path, capsys):
+    """A cut/uncut pair with different voxel counts is skipped with the
+    reference's error message (ref pattern_class.py:220-225)."""
+    from unetsulc_tpu.config import TpuConfig
+    from unetsulc_tpu.io.container import save_graph_npz
+    from unetsulc_tpu.io.graph import make_synthetic_graph
+    from unetsulc_tpu.method.training import TrainingSulciLabeller
+
+    g1 = make_synthetic_graph(np.random.default_rng(1), ["S.C._left"], 2, 40, 30)
+    g2 = make_synthetic_graph(np.random.default_rng(2), ["S.C._left"], 2, 55, 30)
+    p1, p2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_graph_npz(g1, p1)
+    save_graph_npz(g2, p2)
+
+    m = TrainingSulciLabeller(
+        [p1],
+        "L",
+        working_path=str(tmp_path),
+        dict_model={"name": "MisModel", "num_filter": 8},
+        tpu=TpuConfig(compute_dtype="float32", prefetch=0),
+    )
+    m.extract_data_from_graphs()
+    m.load_network()
+    m.results = m._results_schema()
+    m.test_thresholds([p1], [p2], threshold_range=[5])
+    assert "ERROR no matches" in capsys.readouterr().out
+    assert m.results["threshold_scores"][5] == [[]]

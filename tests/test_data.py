@@ -164,3 +164,24 @@ def test_pattern_dataset(graph, tmp_path):
 def test_names_to_ids():
     ids = names_to_ids(np.array(["a", "b", "a"]), {"a": 0, "b": 1})
     np.testing.assert_array_equal(ids, [0, 1, 0])
+
+
+def test_exact_size_scan_covers_stream(graph, tmp_path):
+    """max_image_size(num_epochs) is exact: every augmented sample fits and
+    the bound is attained (not loose)."""
+    p = str(tmp_path / "g.npz")
+    save_graph_npz(graph, p)
+    dict_sulci = {n: i for i, n in enumerate(graph.label_set())}
+    ds = SulciDataset([p], dict_sulci, train=True, seed=9)
+    num_epochs = 4
+    size = ds.max_image_size(num_epochs=num_epochs)
+    attained = np.zeros(3, int)
+    for epoch in range(num_epochs):
+        ds.set_epoch(epoch)
+        vol_in, _ = ds[0]
+        assert np.all(np.asarray(vol_in.shape[:3]) <= size)
+        attained = np.maximum(attained, vol_in.shape[:3])
+    np.testing.assert_array_equal(attained, size)
+    # analytic bound dominates the exact scan
+    loose = ds.max_image_size()
+    assert np.all(loose >= size)

@@ -105,24 +105,44 @@ class SulciDataset:
     def __len__(self) -> int:
         return len(self.gfile_list)
 
-    def max_image_size(self) -> np.ndarray:
+    def max_image_size(self, num_epochs: Optional[int] = None) -> np.ndarray:
         """Static per-axis size bound for the whole dataset.
 
-        Replaces the reference's empirical num_epochs-replay size scan
-        (ref training.py:120-127) with the analytic rotation bound of
-        :func:`rotation_size_bound` for train datasets, or the exact
-        ``max(bck2)+1`` for eval datasets (ref training.py:96-99).
+        Eval datasets: the exact ``max(bck2)+1`` (ref training.py:96-99).
+
+        Train datasets with ``num_epochs``: the EXACT maximum over the
+        augmentation stream that training will replay — our per-(seed,
+        epoch, index) RNG makes the stream deterministic, so the scan is
+        pure point math (rotate + extent), no voxelization.  This is the
+        reference's empirical pre-scan (ref training.py:120-127) without
+        its num_epochs x dataset of wasted dense volumes.
+
+        Without ``num_epochs``: the analytic circumradius bound of
+        :func:`rotation_size_bound` — sound for ANY rotation draw but loose
+        (up to ~2x per axis for cube-like clouds).
         """
         size = np.zeros(3)
+        saved_epoch = self.epoch
         for gfile in self.gfile_list:
             bck2, _ = self._load_points(gfile)
             bck2 = bck2 - np.min(bck2, axis=0)
-            if self.train:
+            if not self.train:
+                size = np.maximum(size, np.max(bck2, axis=0) + 1)
+            elif num_epochs is None:
                 size = np.maximum(
                     size, rotation_size_bound(bck2, self.rot_angle)
                 )
-            else:
-                size = np.maximum(size, np.max(bck2, axis=0) + 1)
+        if self.train and num_epochs is not None:
+            for epoch in range(num_epochs):
+                self.epoch = epoch
+                for index in range(len(self.gfile_list)):
+                    bck2, _ = self._load_points(self.gfile_list[index])
+                    bck2 = bck2 - np.min(bck2, axis=0)
+                    aug = augment_points(
+                        bck2, self.rot_angle, self._rng(index)
+                    )
+                    size = np.maximum(size, np.max(aug, axis=0) + 1)
+            self.epoch = saved_epoch
         return size.astype(int)
 
 

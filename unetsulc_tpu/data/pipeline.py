@@ -111,9 +111,13 @@ def device_iterator(
 def choose_static_size(
     dataset,
     buckets: Optional[Sequence[int]] = None,
+    num_epochs: Optional[int] = None,
 ) -> tuple:
-    """Static (X, Y, Z) for a dataset: its analytic max size, bucketed."""
+    """Static (X, Y, Z) for a dataset: its max size, bucketed.
+
+    ``num_epochs`` enables the exact replayable-stream scan for train
+    datasets (see SulciDataset.max_image_size)."""
     from unetsulc_tpu.data.voxelize import DEFAULT_BUCKET_SIZES, bucket_shape
 
-    size = dataset.max_image_size()
+    size = dataset.max_image_size(num_epochs=num_epochs)
     return bucket_shape(size, buckets or DEFAULT_BUCKET_SIZES)

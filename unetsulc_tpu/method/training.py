@@ -214,7 +214,7 @@ class TrainingSulciLabeller(SulciLabeller):
             dict_names=self.dict_names,
             seed=42,  # the reference's fixed augmentation seed discipline
         )
-        train_img_size = choose_static_size(traindataset)
+        train_img_size = choose_static_size(traindataset, num_epochs=num_epochs)
         traindataset.img_size = list(train_img_size)
         print("Train dataset image size:", list(train_img_size))
 

@@ -151,6 +151,7 @@ def make_synthetic_graph(
     extent: float = 64.0,
     voxel_size=(1.0, 1.0, 1.0),
     unknown_fraction: float = 0.0,
+    structured: bool = True,
 ) -> SulcalGraph:
     """Generate a random but structurally valid graph for tests/benchmarks.
 
@@ -158,15 +159,30 @@ def make_synthetic_graph(
     connected, which the cutting post-processing tests rely on).  Stands in
     for real ``.arg`` cohorts which are not redistributable (SURVEY.md §4
     test plan: "synthetic-graph fixtures ... standing in for aims I/O").
+
+    ``structured=True`` anchors each label's folds near a label-specific
+    canonical location (stable across subjects, like real sulcal anatomy)
+    with per-subject jitter — making the labelling task *learnable* so
+    training demos/tests show real accuracy gains.  ``structured=False``
+    places folds uniformly at random (unlearnable; prior-only).
     """
+    import zlib
+
     vertices: List[Vertex] = []
     index = 1
     for label in labels:
+        if structured:
+            label_rng = np.random.default_rng(zlib.crc32(label.encode()))
+            canonical = label_rng.uniform(0.15, 0.85, size=3) * extent
         for _ in range(n_folds_per_label):
             name = label
             if unknown_fraction and rng.random() < unknown_fraction:
                 name = "unknown"
-            start = rng.uniform(8, extent - 8, size=3)
+            if structured:
+                start = canonical + rng.normal(0, extent * 0.04, size=3)
+                start = np.clip(start, 4, extent - 4)
+            else:
+                start = rng.uniform(8, extent - 8, size=3)
             steps = rng.integers(-1, 2, size=(points_per_fold, 3))
             pts = np.cumsum(steps, axis=0) + np.round(start)
             pts = np.clip(pts, 0, extent - 1).astype(np.int32)

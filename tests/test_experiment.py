@@ -418,3 +418,39 @@ def test_threshold_sweep_skips_mismatched_graphs(tmp_path, capsys):
     m.test_thresholds([p1], [p2], threshold_range=[5])
     assert "ERROR no matches" in capsys.readouterr().out
     assert m.results["threshold_scores"][5] == [[]]
+
+
+def test_batch1_per_sample_buckets(cohort_dir, tmp_path):
+    """batch_size=1 + shape_buckets trains with per-sample bucketed shapes
+    (the reference's primary batch-1 configuration)."""
+    import shutil
+
+    from unetsulc_tpu.config import Parameters
+    from unetsulc_tpu.experiment.driver import run_experiment
+
+    wp = str(tmp_path / "wp")
+    shutil.copytree(str(cohort_dir / "cohorts"), op.join(wp, "cohorts"))
+    params = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 1,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 2,
+            "th_range": [10],
+            "dict_model": {"name": "B1Model", "num_filter": 8},
+            "tpu": {
+                "compute_dtype": "float32",
+                "prefetch": 0,
+                "shape_buckets": True,
+            },
+        }
+    )
+    results = run_experiment(params)
+    assert len(results["best_acc"]) == 2
+    assert all(np.isfinite(v) for curve in results["epoch_loss_val"] for v in curve)
+    # no fixed image sizes recorded for batch 1 (reference schema)
+    assert "train_image_size" not in results

@@ -37,13 +37,35 @@ class Batch:
 def iterate_batches(
     dataset,
     batch_size: int,
-    img_size: Sequence[int],
+    img_size: Optional[Sequence[int]] = None,
     epoch: int = 0,
 ) -> Iterator[Batch]:
-    """Yield fixed-shape batches in dataset order (reference: shuffle=False)."""
+    """Yield static-shape batches in dataset order (reference: shuffle=False).
+
+    ``img_size=None`` (batch_size must be 1): per-sample *shape buckets* —
+    each sample is voxelized at its exact extent and padded up to the
+    nearest bucket (data.voxelize.DEFAULT_BUCKET_SIZES), so XLA compiles a
+    handful of executables and small samples don't pay the cohort-max
+    volume.  This is the TPU analogue of the reference's batch-1 dynamic
+    shapes (ref dataset.py:74-77).
+    """
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)
     n = len(dataset)
+    if img_size is None:
+        assert batch_size == 1, "per-sample shape buckets require batch_size=1"
+        from unetsulc_tpu.data.voxelize import bucket_shape
+
+        for i in range(n):
+            vol_in, vol_lb = dataset[i]
+            bx, by, bz = bucket_shape(vol_in.shape[:3])
+            inputs = np.zeros((1, bx, by, bz, 1), np.float32)
+            labels = np.full((1, bx, by, bz), -1, np.int32)
+            sx, sy, sz = vol_in.shape[:3]
+            inputs[0, :sx, :sy, :sz] = vol_in
+            labels[0, :sx, :sy, :sz] = vol_lb
+            yield Batch(inputs=inputs, labels=labels, real=1)
+        return
     sx, sy, sz = (int(s) for s in img_size)
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))

@@ -142,7 +142,6 @@ class TrainingSulciLabeller(SulciLabeller):
         timer = EpochTimer()
         loss_terms = []  # device scalars; summed lazily, fetched once
         count_terms = []
-        vox_per_sample = int(np.prod(img_size))
         batches = iterate_batches(dataset, batch_size, img_size, epoch=epoch)
         for inputs, labels, real in device_iterator(
             batches, sharding=sharding, prefetch=self.tpu.prefetch
@@ -153,7 +152,7 @@ class TrainingSulciLabeller(SulciLabeller):
                 loss, c = step_fn(state.params, inputs, labels)
             loss_terms.append(loss * real)
             count_terms.append(c)
-            timer.add_batch(real * vox_per_sample)
+            timer.add_batch(real * int(np.prod(inputs.shape[1:4])))
         running_loss = float(sum(loss_terms))
         counts = np.asarray(sum(count_terms), np.int64)
         epoch_loss = running_loss / len(dataset)
@@ -191,6 +190,15 @@ class TrainingSulciLabeller(SulciLabeller):
             return 1
 
         # # DATASETS (static shapes) # #
+        # batch 1 + shape_buckets: per-sample bucketed shapes (the TPU
+        # analogue of the reference's batch-1 dynamic sizes); otherwise one
+        # fixed size per dataset (the reference's batch>1 path).
+        per_sample = (
+            batch_size == 1
+            and self.tpu.shape_buckets
+            and self.tpu.data_parallel <= 1
+        )
+
         print("Extract validation dataloader...")
         valdataset = SulciDataset(
             gfile_list_test,
@@ -200,9 +208,13 @@ class TrainingSulciLabeller(SulciLabeller):
             dict_bck2=self.dict_bck2,
             dict_names=self.dict_names,
         )
-        val_img_size = choose_static_size(valdataset)
-        valdataset.img_size = list(val_img_size)
-        print("Val dataset image size:", list(val_img_size))
+        if per_sample:
+            val_img_size = None
+            print("Val dataset image size: per-sample buckets")
+        else:
+            val_img_size = choose_static_size(valdataset)
+            valdataset.img_size = list(val_img_size)
+            print("Val dataset image size:", list(val_img_size))
 
         print("Extract train dataloader...")
         traindataset = SulciDataset(
@@ -214,9 +226,15 @@ class TrainingSulciLabeller(SulciLabeller):
             dict_names=self.dict_names,
             seed=42,  # the reference's fixed augmentation seed discipline
         )
-        train_img_size = choose_static_size(traindataset, num_epochs=num_epochs)
-        traindataset.img_size = list(train_img_size)
-        print("Train dataset image size:", list(train_img_size))
+        if per_sample:
+            train_img_size = None
+            print("Train dataset image size: per-sample buckets")
+        else:
+            train_img_size = choose_static_size(
+                traindataset, num_epochs=num_epochs
+            )
+            traindataset.img_size = list(train_img_size)
+            print("Train dataset image size:", list(train_img_size))
 
         # # MODEL + STATE # #
         self._prepare_model_and_state(lr)

@@ -185,3 +185,25 @@ def test_exact_size_scan_covers_stream(graph, tmp_path):
     # analytic bound dominates the exact scan
     loose = ds.max_image_size()
     assert np.all(loose >= size)
+
+
+def test_grain_loader(graph, tmp_path):
+    """Optional grain pipeline yields the same samples as direct access."""
+    import pytest
+
+    grain = pytest.importorskip("grain")
+    from unetsulc_tpu.data.grain_pipeline import make_grain_loader
+
+    p = str(tmp_path / "g.npz")
+    save_graph_npz(graph, p)
+    dict_sulci = {n: i for i, n in enumerate(graph.label_set())}
+    ds = SulciDataset([p, p], dict_sulci, train=False)
+    loader = make_grain_loader(ds, img_size=(48, 48, 48), batch_size=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["inputs"].shape == (2, 48, 48, 48, 1)
+    assert b["labels"].shape == (2, 48, 48, 48)
+    direct_in, direct_lb = ds[0]
+    np.testing.assert_array_equal(b["inputs"][0], direct_in)
+    np.testing.assert_array_equal(b["labels"][0], direct_lb)

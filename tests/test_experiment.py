@@ -454,3 +454,25 @@ def test_batch1_per_sample_buckets(cohort_dir, tmp_path):
     assert all(np.isfinite(v) for curve in results["epoch_loss_val"] for v in curve)
     # no fixed image sizes recorded for batch 1 (reference schema)
     assert "train_image_size" not in results
+
+
+def test_sslist_excludes_unknown_and_ventricle():
+    """sslist filters unknown*/ventricle* (ref pattern_class.py:49-50) so
+    they never count in the ESI metric."""
+    from unetsulc_tpu.method.base import SulciLabeller
+
+    m = SulciLabeller(
+        [],
+        "L",
+        dict_model={"name": "T"},
+        sulci_side_list=[
+            "S.C._left",
+            "unknown",
+            "unknown_2",
+            "ventricle_left",
+            "F.C.M._left",
+        ],
+    )
+    assert m.sslist == ["S.C._left", "F.C.M._left"]
+    assert m.dict_sulci["background"] == -1
+    assert m.dict_sulci["S.C._left"] == 0

@@ -54,13 +54,17 @@ def iterate_batches(
     n = len(dataset)
     if img_size is None:
         assert batch_size == 1, "per-sample shape buckets require batch_size=1"
-        from unetsulc_tpu.data.voxelize import bucket_shape
+        from unetsulc_tpu.data.voxelize import bucket_size
 
         for i in range(n):
             vol_in, vol_lb = dataset[i]
-            bx, by, bz = bucket_shape(vol_in.shape[:3])
-            inputs = np.zeros((1, bx, by, bz, 1), np.float32)
-            labels = np.full((1, bx, by, bz), -1, np.int32)
+            # CUBIC buckets: one bucket per max-extent keeps the set of
+            # compiled shapes tiny (~2-3 per cohort); independent per-axis
+            # buckets explode into up to len(buckets)^3 executables and the
+            # recompiles dominate (measured 200x slowdown on the chip).
+            b = bucket_size(max(vol_in.shape[:3]))
+            inputs = np.zeros((1, b, b, b, 1), np.float32)
+            labels = np.full((1, b, b, b), -1, np.int32)
             sx, sy, sz = vol_in.shape[:3]
             inputs[0, :sx, :sy, :sz] = vol_in
             labels[0, :sx, :sy, :sz] = vol_lb

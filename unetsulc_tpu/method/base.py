@@ -217,6 +217,16 @@ class SulciLabeller:
         if names is None:
             names = self.dict_names[gfile]
         bck2 = np.asarray(bck2)
+        if imgsize is None and self.tpu.shape_buckets:
+            # cubic shape bucket: a handful of compiled predict fns per
+            # cohort instead of one per distinct graph extent (the
+            # reference uses exact per-graph sizes, ref dataset.py:74-77;
+            # zero padding only adds background voxels outside bck_T)
+            from unetsulc_tpu.data.voxelize import bucket_size
+
+            extent = int(np.max(bck2 - np.min(bck2, axis=0))) + 1
+            b = bucket_size(extent)
+            imgsize = (b, b, b)
         dataset = SulciDataset(
             [gfile],
             self.dict_sulci,

@@ -153,3 +153,25 @@ def test_bck_int32_coords(tmp_path):
         f.write(pts.astype("<i4").tobytes())
     out = read_bck(p)
     np.testing.assert_array_equal(out[0], pts)
+
+
+def test_save_data_legacy_name(tmp_path, graph):
+    """save_data(name=None) uses the legacy '<model>.json' artifact name
+    (ref transfer_learning/transfer_learning.py:519-524)."""
+    import os.path as op
+
+    from unetsulc_tpu.io.container import save_graph_npz
+    from unetsulc_tpu.method.base import SulciLabeller
+
+    p = str(tmp_path / "g.npz")
+    save_graph_npz(graph, p)
+    m = SulciLabeller(
+        [p], "L", working_path=str(tmp_path), dict_model={"name": "Leg"}
+    )
+    m.extract_data_from_graphs()
+    m.save_data()
+    assert op.exists(op.join(str(tmp_path), "data", "Leg.json"))
+    m.save_data(name="cohort-X_hemi-L")
+    assert op.exists(
+        op.join(str(tmp_path), "data", "cohort-X_hemi-L_data.json")
+    )

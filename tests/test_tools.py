@@ -190,3 +190,22 @@ def test_model_comparison_figures(tmp_path):
     out = compare_evaluations(ca, cb, out_dir=str(tmp_path))
     assert op.exists(out["figure"])
     assert out["wilcoxon_esi"] is not None
+
+
+def test_regenerate_data_from_graphs(cohort_dir):
+    """Figures can re-extract cohort data when no cache exists
+    (ref create_figures/plot_cohort_features.py:38-82)."""
+    import json
+
+    from unetsulc_tpu.figures.plot_cohort_features import (
+        cohort_features,
+        regenerate_data,
+    )
+
+    with open(op.join(str(cohort_dir), "cohorts", "cohort-Synth6_hemi-L.json")) as f:
+        graphs = [s["graph"] for s in json.load(f)["subjects"]][:2]
+    data = regenerate_data(graphs)
+    assert set(data) == {"dict_bck2", "dict_names"}
+    assert all(len(data["dict_bck2"][g]) > 0 for g in graphs)
+    feats = cohort_features(data["dict_bck2"], data["dict_names"])
+    assert feats["sizes"] and feats["occurrences"]

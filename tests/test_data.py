@@ -207,3 +207,29 @@ def test_grain_loader(graph, tmp_path):
     direct_in, direct_lb = ds[0]
     np.testing.assert_array_equal(b["inputs"][0], direct_in)
     np.testing.assert_array_equal(b["labels"][0], direct_lb)
+
+
+def test_device_iterator_propagates_errors(graph, tmp_path):
+    """Exceptions in the prefetch thread surface in the consumer."""
+    import pytest
+
+    from unetsulc_tpu.data.pipeline import device_iterator
+
+    def bad_batches():
+        yield from ()
+        raise RuntimeError("boom")  # pragma: no cover
+
+    def bad_gen():
+        from unetsulc_tpu.data.pipeline import Batch
+
+        yield Batch(
+            inputs=np.zeros((1, 4, 4, 4, 1), np.float32),
+            labels=np.full((1, 4, 4, 4), -1, np.int32),
+            real=1,
+        )
+        raise RuntimeError("voxelization failed")
+
+    it = device_iterator(bad_gen(), prefetch=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="voxelization failed"):
+        list(it)

@@ -131,3 +131,19 @@ def test_resize_matmul_equals_gather():
     a = resize_trilinear(x, (9, 17, 11), use_matmul=True)
     b = resize_trilinear(x, (9, 17, 11), use_matmul=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_cutting_large_fold_kdtree_path():
+    """The KD-tree nearest-assignment path (big folds) matches semantics."""
+    rng = np.random.default_rng(0)
+    # two big separated clusters + 200 stragglers near cluster 2
+    a = rng.integers(0, 10, size=(3000, 3))
+    b = rng.integers(50, 60, size=(3000, 3))
+    minority = rng.integers(48, 52, size=(200, 3))
+    pts = np.concatenate([a, b, minority])
+    preds = np.array([0] * 3000 + [1] * 3000 + [2] * 200)
+    out = cutting(_scores(preds, 3), np.zeros(len(pts), int), pts, threshold=1000)
+    assert set(out[:3000]) == {0}
+    assert set(out[3000:6000]) == {1}
+    # minority voxels swallowed by the nearest big part (cluster b)
+    assert set(out[6000:]) == {1}

@@ -49,10 +49,18 @@ def _components(points: np.ndarray) -> np.ndarray:
 def _nearest_assignment(
     src: np.ndarray, dst: np.ndarray
 ) -> np.ndarray:
-    """Index into ``dst`` of the nearest dst point for each src point."""
-    # Small per-fold point counts: brute force is fine and deterministic.
-    d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
-    return np.argmin(d2, axis=1)
+    """Index into ``dst`` of the nearest dst point for each src point.
+
+    KD-tree for large folds (brute force is O(n*m) and real folds reach
+    thousands of voxels); ties resolve to the lowest index either way.
+    """
+    if len(src) * len(dst) <= 4096:
+        d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+        return np.argmin(d2, axis=1)
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(dst).query(src, k=1)
+    return np.asarray(idx)
 
 
 def cutting(

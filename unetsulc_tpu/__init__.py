@@ -40,3 +40,32 @@ Package map (reference counterparts cited in each module):
 __version__ = "0.1.0"
 
 from unetsulc_tpu.config import Parameters  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import unetsulc_tpu` light)."""
+    lazy = {
+        "UNet3D": ("unetsulc_tpu.models.unet3d", "UNet3D"),
+        "SulciDataset": ("unetsulc_tpu.data.dataset", "SulciDataset"),
+        "PatternDataset": ("unetsulc_tpu.data.dataset", "PatternDataset"),
+        "SulciLabeller": ("unetsulc_tpu.method.base", "SulciLabeller"),
+        "TrainingSulciLabeller": (
+            "unetsulc_tpu.method.training",
+            "TrainingSulciLabeller",
+        ),
+        "TransferSulciLabeller": (
+            "unetsulc_tpu.method.transfer",
+            "TransferSulciLabeller",
+        ),
+        "run_experiment": ("unetsulc_tpu.experiment.driver", "run_experiment"),
+        "read_graph": ("unetsulc_tpu.io.container", "read_graph"),
+        "extract_data": ("unetsulc_tpu.data.extract", "extract_data"),
+        "esi_score": ("unetsulc_tpu.ops.esi", "esi_score"),
+        "cutting": ("unetsulc_tpu.ops.cutting", "cutting"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)

@@ -73,6 +73,61 @@ def max_pool_3d(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+class SplitConv3(nn.Module):
+    """3x3x3 same-padding conv that also accepts a *pair* of inputs.
+
+    Given ``(a, b)`` it computes ``conv(concat(a, b))`` WITHOUT
+    materializing the concatenation, by linearity:
+    ``conv(concat(a,b), W) = conv(a, W[..., :Ca, :]) + conv(b, W[..., Ca:, :])``.
+    The decoder's skip-concat tensor at full resolution is ~340 MB bf16
+    (96^3 x 192ch) per direction — this keeps it out of HBM entirely.
+    Parameter names/shapes are identical to ``nn.Conv`` (kernel slicing
+    happens at trace time), so torch ``.mdsm`` interop is unaffected.
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pair = isinstance(x, (tuple, list))
+        cin = (
+            x[0].shape[-1] + x[1].shape[-1] if pair else x.shape[-1]
+        )
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.compute_dtype == jnp.float32
+            else None
+        )
+        k = kernel.astype(self.compute_dtype)
+
+        def conv(v, kk):
+            return jax.lax.conv_general_dilated(
+                v.astype(self.compute_dtype),
+                kk,
+                window_strides=(1, 1, 1),
+                padding=((1, 1), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                precision=precision,
+            )
+
+        if pair:
+            ca = x[0].shape[-1]
+            out = conv(x[0], k[:, :, :, :ca, :]) + conv(x[1], k[:, :, :, ca:, :])
+        else:
+            out = conv(x, k)
+        return out + bias.astype(out.dtype)
+
+
 class DoubleConv(nn.Module):
     """Two 3x3x3 convs applying ops in ``order`` per conv.
 
@@ -95,26 +150,16 @@ class DoubleConv(nn.Module):
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
 
-    def _block(self, x: jnp.ndarray, pos: int, out_channels: int) -> jnp.ndarray:
-        # fp32 compute requests HIGHEST precision: XLA's default fp32 conv
-        # path is allowed to round operands (bf16 passes on TPU MXU, reduced
-        # precision on CPU), which breaks torch-parity; bf16 compute keeps
-        # the fast default.
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if self.compute_dtype == jnp.float32
-            else None
-        )
+    def _block(self, x, pos: int, out_channels: int) -> jnp.ndarray:
+        if isinstance(x, (tuple, list)) and not self.order.startswith("c"):
+            raise ValueError(
+                "pair (concat-free) inputs require the conv first in order"
+            )
         for i, char in enumerate(self.order):
             if char == "c":
-                x = nn.Conv(
+                x = SplitConv3(
                     features=out_channels,
-                    kernel_size=(3, 3, 3),
-                    padding=1,
-                    use_bias=True,
-                    dtype=self.compute_dtype,
-                    param_dtype=jnp.float32,
-                    precision=precision,
+                    compute_dtype=self.compute_dtype,
                     name=f"conv{pos}",
                 )(x)
             elif char == "r":
@@ -192,16 +237,15 @@ class Decoder(nn.Module):
             )
         target = encoder_features.shape[1:4]
         x = resize_trilinear(x, target)
-        x = jnp.concatenate(
-            [encoder_features, x.astype(encoder_features.dtype)], axis=-1
-        )
+        # pass the (skip, upsampled) pair: the first conv applies split
+        # kernels by linearity, so the concat tensor never hits HBM
         return DoubleConv(
             self.in_channels,
             self.out_channels,
             self.order,
             compute_dtype=self.compute_dtype,
             name="double_conv",
-        )(x)
+        )((encoder_features, x.astype(encoder_features.dtype)))
 
 
 class FinalConvHead(nn.Module):

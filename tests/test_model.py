@@ -180,3 +180,27 @@ def test_remat_same_numerics():
     np.testing.assert_allclose(float(outs[0][0]), float(outs[1][0]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_forward_parity_flagship_width():
+    """Parity at init_channel_number=64 (the BrainVISA width): exercises
+    GroupNorm(32, C) for C in {32,64,...,512} - the exact production path."""
+    torch = pytest.importorskip("torch")
+    from torch_oracle import UNet3DOracle
+
+    torch.manual_seed(1)
+    oracle = UNet3DOracle(1, 7, init_channel_number=64)
+    state = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = params_from_state_dict(state)
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=7,
+        init_channel_number=64,
+        compute_dtype=jnp.float32,
+    )
+    x = np.random.default_rng(4).normal(size=(1, 14, 12, 10, 1)).astype(np.float32)
+    x[x < 0.8] = 0.0
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x), train=True))
+    theirs = _torch_forward(oracle, x, train=True)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=5e-4)

@@ -157,6 +157,11 @@ class TransferSulciLabeller(TrainingSulciLabeller):
                 ft.stop = True
             if ft.ft_start:
                 print("\nFine tunning")
+                # NOTE: mutating the instance list reproduces the
+                # reference's cross-fold behavior exactly (ref :389 on a
+                # method object reused across CV folds, main.py:131-137):
+                # after the first fold fine-tunes, subsequent folds train
+                # the decoder layers from epoch 0.
                 self.training_layers += self.fine_tunning_layers
                 state = state.repartition(self.training_layers).divide_lr(
                     10.0, reset_momentum=True

@@ -204,3 +204,29 @@ def test_forward_parity_flagship_width():
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(x), train=True))
     theirs = _torch_forward(oracle, x, train=True)
     np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=5e-4)
+
+
+def test_mdsm_loads_into_torch_module_strict():
+    """Our exported .mdsm strict-loads into a real torch module and
+    reproduces our forward - the full reverse interop direction."""
+    import tempfile
+
+    torch = pytest.importorskip("torch")
+    from torch_oracle import UNet3DOracle
+
+    model = small_unet(out_channels=4)
+    x = np.random.default_rng(8).normal(size=(1, 12, 14, 10, 1)).astype(np.float32)
+    x[x < 0.6] = 0.0
+    params = model.init(jax.random.key(9), jnp.asarray(x), train=True)["params"]
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/m.mdsm"
+        write_state_dict(
+            state_dict_from_params(jax.tree.map(np.asarray, params)), p
+        )
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+    oracle = UNet3DOracle(1, 4, init_channel_number=16)
+    oracle.load_state_dict(sd, strict=True)  # keys+shapes must match exactly
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x), train=True))
+    theirs = _torch_forward(oracle, x, train=True)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=5e-4)

@@ -109,11 +109,16 @@ def _record(data: bytes) -> bytes:
 class SummaryWriter:
     """Drop-in for the two reference calls: add_scalar + close."""
 
+    _seq = 0
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
-        fname = "events.out.tfevents.%010d.%s" % (
+        SummaryWriter._seq += 1
+        fname = "events.out.tfevents.%010d.%s.%d.%d" % (
             int(time.time()),
             socket.gethostname(),
+            os.getpid(),
+            SummaryWriter._seq,
         )
         self.path = os.path.join(log_dir, fname)
         self._f = open(self.path, "ab")

@@ -476,3 +476,63 @@ def test_sslist_excludes_unknown_and_ventricle():
     assert m.sslist == ["S.C._left", "F.C.M._left"]
     assert m.dict_sulci["background"] == -1
     assert m.dict_sulci["S.C._left"] == 0
+
+
+def test_label_cli_in_process(cohort_dir, tmp_path, monkeypatch, capsys):
+    """label.py main(): params.json + graphs -> CSVs + summary."""
+    import shutil
+    import sys
+
+    wp = str(tmp_path / "wp")
+    shutil.copytree(str(cohort_dir / "cohorts"), op.join(wp, "cohorts"))
+    # quick 1-fold training to produce a model
+    params = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 1,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 1,
+            "th_range": [5],
+            "dict_model": {"name": "CliModel", "num_filter": 8},
+            "tpu": {"compute_dtype": "float32", "prefetch": 0},
+        }
+    )
+    run_experiment(params)
+    with open(op.join(wp, "cohorts", "cohort-Synth6_hemi-L.json")) as f:
+        graphs = [s["graph"] for s in json.load(f)["subjects"]][:2]
+
+    sys.path.insert(0, "/root/repo")
+    import label as label_cli
+
+    out_dir = op.join(wp, "labelout")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "label.py",
+            "-m",
+            op.join(wp, "models", "CliModel", "CliModel_cv0_params.json"),
+            "-g",
+            *graphs,
+            "-o",
+            out_dir,
+            "--threshold",
+            "5",
+        ],
+    )
+    label_cli.main()
+    with open(op.join(out_dir, "labeling_summary.json")) as f:
+        summary = json.load(f)
+    assert len(summary) == 2
+    for g in graphs:
+        assert 0.0 <= summary[g]["esi_accuracy"] <= 1.0
+        csv = op.join(
+            out_dir, op.splitext(op.basename(g))[0] + "_labels.csv"
+        )
+        with open(csv) as f:
+            header = f.readline().strip()
+        assert header == "x,y,z,true_label,pred_label"

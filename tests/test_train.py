@@ -211,3 +211,24 @@ def test_torch_param_name():
     assert (
         torch_param_name(("final_conv", "1", "kernel")) == "final_conv.1.weight"
     )
+
+
+def test_controller_checkpoint_on_improvement(tmp_path):
+    """save=True writes checkpoint.mdsm on val-loss improvement
+    (the reference's never-enabled checkpoint.pt path, ref divide_lr.py:63-69)."""
+    import os.path as op
+
+    from unetsulc_tpu.io.mdsm import read_state_dict
+
+    state = {"w": np.ones((2, 2), np.float32)}
+    dl = DivideLr(patience=2, save=True, savepath=str(tmp_path))
+    dl(1.0, get_state=lambda: state)
+    p = op.join(str(tmp_path), "checkpoint.mdsm")
+    assert op.exists(p)
+    np.testing.assert_array_equal(read_state_dict(p)["w"], state["w"])
+    # improvement overwrites; plateau does not
+    state["w"] = np.zeros((2, 2), np.float32)
+    dl(2.0, get_state=lambda: state)  # worse: no save
+    np.testing.assert_array_equal(read_state_dict(p)["w"], 1.0)
+    dl(0.5, get_state=lambda: state)  # better: saved
+    np.testing.assert_array_equal(read_state_dict(p)["w"], 0.0)

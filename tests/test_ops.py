@@ -147,3 +147,19 @@ def test_cutting_large_fold_kdtree_path():
     assert set(out[3000:6000]) == {1}
     # minority voxels swallowed by the nearest big part (cluster b)
     assert set(out[6000:]) == {1}
+
+
+def test_resize_nearest_matches_torch():
+    torch = pytest.importorskip("torch")
+    from unetsulc_tpu.ops.resize import resize_nearest
+
+    x = np.random.default_rng(5).normal(size=(1, 4, 6, 5, 3)).astype(np.float32)
+    target = (9, 12, 7)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), target))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    theirs = (
+        torch.nn.functional.interpolate(xt, size=target, mode="nearest")
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_array_equal(ours, theirs)

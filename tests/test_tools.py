@@ -209,3 +209,37 @@ def test_regenerate_data_from_graphs(cohort_dir):
     assert all(len(data["dict_bck2"][g]) > 0 for g in graphs)
     feats = cohort_features(data["dict_bck2"], data["dict_names"])
     assert feats["sizes"] and feats["occurrences"]
+
+
+def test_convert_graphs_cli(graph, tmp_path):
+    """.arg -> .npz converter preserves the extraction contract and
+    rewrites cohort files."""
+    from unetsulc_tpu.data.extract import extract_data
+    from unetsulc_tpu.io.arg_writer import save_graph_arg
+    from unetsulc_tpu.io.container import read_graph
+    from unetsulc_tpu.tools.convert_graphs import convert_cohort, convert_one
+
+    src = str(tmp_path / "g.arg")
+    save_graph_arg(graph, src)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    npz = convert_one(src, out_dir)
+    a = extract_data(read_graph(src))
+    b = extract_data(read_graph(npz))
+    np.testing.assert_array_equal(a["bck2"], b["bck2"])
+    assert list(a["names"]) == list(b["names"])
+
+    cohort = {
+        "name": "C",
+        "subjects": [
+            {"name": "s0", "graph": src, "notcut_graph": src, "t1": None}
+        ],
+    }
+    cpath = str(tmp_path / "cohort-C_hemi-L.json")
+    with open(cpath, "w") as f:
+        json.dump(cohort, f)
+    out_cohort = convert_cohort(cpath, out_dir)
+    with open(out_cohort) as f:
+        new = json.load(f)
+    assert new["subjects"][0]["graph"].endswith(".npz")
+    assert new["subjects"][0]["graph"] == new["subjects"][0]["notcut_graph"]

@@ -62,9 +62,9 @@ def bench_jax() -> float:
         jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
     )["params"]
 
-    def apply_fn(params, x, train=True):
-        return model.apply({"params": params}, x, train=train)
+    from unetsulc_tpu.models.unet3d import make_apply_fn
 
+    apply_fn = make_apply_fn(model)
     state = TrainState.create(params, lr=0.01)
     step = make_train_step(apply_fn, num_classes=OUT_CHANNELS, momentum=0.9)
 
@@ -130,8 +130,8 @@ def bench_label_latency() -> float:
     import jax
     import jax.numpy as jnp
 
-    from unetsulc_tpu.models.unet3d import UNet3D
-    from unetsulc_tpu.train.step import make_predict_fn
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.train.step import make_label_fn
 
     model = UNet3D(
         in_channels=1,
@@ -141,22 +141,15 @@ def bench_label_latency() -> float:
     )
     rng = np.random.default_rng(0)
     inputs, _ = _make_batch(rng, 1, VOLUME)
-    n_vox = 30000
-    coords = rng.integers(0, VOLUME[0], size=(3, n_vox))
+    # 30k bucket voxels padded to the same 4096-multiple bucket the
+    # labeling() path uses (method/base.py)
+    n_pad = 32768
+    coords = rng.integers(0, VOLUME[0], size=(3, n_pad)).astype(np.int32)
     params = model.init(
         jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
     )["params"]
 
-    def apply_fn(params, x, train=True):
-        return model.apply({"params": params}, x, train=train)
-
-    predict = make_predict_fn(apply_fn)
-
-    @jax.jit
-    def label(params, x, cx, cy, cz):
-        out = predict(params, x)[0]
-        scores = out[cx, cy, cz, :]
-        return jnp.argmax(scores, axis=-1), scores
+    label = make_label_fn(make_apply_fn(model))
 
     x = jax.device_put(jnp.asarray(inputs))
     c = [jax.device_put(jnp.asarray(v)) for v in coords]

@@ -456,6 +456,45 @@ def test_batch1_per_sample_buckets(cohort_dir, tmp_path):
     assert "train_image_size" not in results
 
 
+def test_dropout_learning_and_labeling(cohort_dir, tmp_path):
+    """dict_model dropout>0 trains AND evaluates/labels end-to-end.
+
+    Round-1 regression: eval/labeling ran the model in train mode, so any
+    dropout>0 config crashed at val time (the reference disables dropout
+    via model.eval(), ref training.py:185)."""
+    import shutil
+
+    wp = str(tmp_path / "wp")
+    shutil.copytree(str(cohort_dir / "cohorts"), op.join(wp, "cohorts"))
+    params = Parameters.from_dict(
+        {
+            "working_path": wp,
+            "cohort_name": "Synth6",
+            "hemi": "L",
+            "batch_size": 2,
+            "lr": 0.05,
+            "momentum": 0.9,
+            "n_cvinner": 2,
+            "n_epochs": 1,
+            "th_range": [10],
+            "dict_model": {
+                "name": "DropModel",
+                "num_filter": 8,
+                "dropout": 0.1,
+            },
+            "tpu": {"compute_dtype": "float32", "prefetch": 0},
+        }
+    )
+    results = run_experiment(params)
+    assert len(results["best_acc"]) == 2
+    assert all(
+        np.isfinite(v) for curve in results["epoch_loss_val"] for v in curve
+    )
+    # threshold sweep exercised labeling() with dropout>0
+    th_key = 10 if 10 in results["threshold_scores"] else "10"
+    assert len(results["threshold_scores"][th_key]) == 2
+
+
 def test_sslist_excludes_unknown_and_ventricle():
     """sslist filters unknown*/ventricle* (ref pattern_class.py:49-50) so
     they never count in the ESI metric."""

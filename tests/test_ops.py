@@ -163,3 +163,85 @@ def test_resize_nearest_matches_torch():
         .numpy()
     )
     np.testing.assert_array_equal(ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# CONTRACTS.md golden fixtures — hand-computed from the pinned semantics,
+# NOT generated by this implementation.  Each test names the CONTRACTS.md
+# decision row it enforces.
+# ---------------------------------------------------------------------------
+
+
+def _fold(coords_scores):
+    """Build (yscores, vert, bck2) for ONE fold from [(xyz, scores), ...]."""
+    bck2 = np.array([c for c, _ in coords_scores], dtype=np.int64)
+    yscores = np.array([s for _, s in coords_scores], dtype=np.float64)
+    vert = np.full(len(bck2), 7, dtype=np.int64)
+    return yscores, vert, bck2
+
+
+def test_contract_threshold_boundary():
+    """C1: count == threshold CUTS (>=); count == threshold-1 does not."""
+    a = [((x, 0, 0), (0.90, 0.05, 0.05)) for x in range(5)]      # class 0 x5
+    b = [((x, 0, 0), (0.05, 0.90, 0.05)) for x in (10, 11, 12)]  # class 1 x3
+    yscores, vert, bck2 = _fold(a + b)
+
+    # threshold 3: class1 count (3) reaches it -> cut into two parts
+    out = cutting(yscores, vert, bck2, threshold=3)
+    np.testing.assert_array_equal(out, [0] * 5 + [1] * 3)
+
+    # threshold 4: class1 count (3) below it -> NOT cut; whole-fold score
+    # vote: class0 sum 4.65 beats class1 sum 2.95
+    out = cutting(yscores, vert, bck2, threshold=4)
+    np.testing.assert_array_equal(out, [0] * 8)
+
+
+def test_contract_score_vote_beats_count_vote():
+    """C2: the relabelling vote is argmax of SUMMED yscores, not of voxel
+    counts.  3 weak class-0 voxels vs 2 strong class-1 voxels:
+    counts 3-2 favour class 0, score sums 1.3 vs 2.85 favour class 1."""
+    vox = [
+        ((0, 0, 0), (0.40, 0.35, 0.25)),
+        ((1, 0, 0), (0.40, 0.35, 0.25)),
+        ((2, 0, 0), (0.40, 0.35, 0.25)),
+        ((3, 0, 0), (0.05, 0.90, 0.05)),
+        ((4, 0, 0), (0.05, 0.90, 0.05)),
+    ]
+    yscores, vert, bck2 = _fold(vox)
+    out = cutting(yscores, vert, bck2, threshold=100)  # no cut possible
+    np.testing.assert_array_equal(out, [1] * 5)
+
+
+def test_contract_single_label_two_clusters_not_cut():
+    """C4: one argmax label in two disconnected clusters is NOT cut —
+    cutting keys on label disagreement, not spatial components."""
+    c1 = [((x, 0, 0), (0.8, 0.1, 0.1)) for x in range(3)]
+    c2 = [((x, 0, 0), (0.8, 0.1, 0.1)) for x in (20, 21, 22)]
+    yscores, vert, bck2 = _fold(c1 + c2)
+    out = cutting(yscores, vert, bck2, threshold=2)
+    np.testing.assert_array_equal(out, [0] * 6)
+
+
+def test_contract_minority_flips_part_vote():
+    """C5: sub-threshold minority voxels join their nearest part BEFORE the
+    vote and can flip it.  Part B (3 weak class-1 voxels, sum 1.5) absorbs
+    2 strong class-2 voxels (sum 1.9 + B's own 1.35 class-2 mass) ->
+    the merged part votes class 2 even though class 2 never reached the
+    threshold on its own."""
+    part_a = [((x, 0, 0), (0.90, 0.05, 0.05)) for x in range(3)]
+    part_b = [((x, 0, 0), (0.05, 0.50, 0.45)) for x in (10, 11, 12)]
+    minority = [((x, 0, 0), (0.02, 0.03, 0.95)) for x in (13, 14)]
+    yscores, vert, bck2 = _fold(part_a + part_b + minority)
+    out = cutting(yscores, vert, bck2, threshold=3)
+    # A-part: class0.  B-part + minority: class2 sum = 3*0.45 + 2*0.95 =
+    # 3.25 > class1 sum = 3*0.50 + 2*0.03 = 1.56.
+    np.testing.assert_array_equal(out, [0] * 3 + [2] * 5)
+
+
+def test_contract_esi_absent_label_counts_in_mean():
+    """E2: a label absent from BOTH y_true and y_pred contributes 0 error
+    but stays in the mean's denominator.
+    A: TP=1 FN=1 -> 1/3.  B: TP=1 FP=1 -> 1/3.  C: absent -> 0.
+    ESI = (1/3 + 1/3 + 0)/3 = 2/9."""
+    esi = esi_score(["A", "A", "B"], ["A", "B", "B"], ["A", "B", "C"])
+    assert esi == pytest.approx(2.0 / 9.0)

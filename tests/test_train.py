@@ -27,14 +27,13 @@ def tiny_model():
     )
 
 
-def _setup(training_layers=None, lr=0.05):
-    model = tiny_model()
+def _setup(training_layers=None, lr=0.05, model=None):
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+
+    model = model or tiny_model()
     x = jnp.zeros((1, 8, 8, 8, 1))
     params = model.init(jax.random.key(0), x, train=True)["params"]
-
-    def apply_fn(params, inputs, train=True):
-        return model.apply({"params": params}, inputs, train=train)
-
+    apply_fn = make_apply_fn(model)
     state = TrainState.create(params, lr=lr, training_layers=training_layers)
     step = make_train_step(apply_fn, num_classes=3, momentum=0.9, donate=False)
     return model, params, state, step, apply_fn
@@ -170,6 +169,168 @@ def test_eval_step_activation_quirk():
     loss_raw, c2 = ev_raw(params, inputs, labels)
     assert float(loss_act) != pytest.approx(float(loss_raw))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_eval_step_dropout_off():
+    """Eval/predict run in eval mode: dropout disabled, no rngs needed,
+    and the outputs are deterministic (ref training.py:185 model.eval())."""
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.train.step import make_predict_fn
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=3,
+        init_channel_number=8,
+        dropout=0.2,
+        compute_dtype=jnp.float32,
+    )
+    model_nodrop = model.copy(dropout=0.0)
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    params = model.init(jax.random.key(0), x, train=False)["params"]
+    inputs, labels = _batch()
+
+    # eval step: must not crash without rngs, and dropout must be a no-op
+    ev = make_eval_step(make_apply_fn(model), num_classes=3)
+    ev0 = make_eval_step(make_apply_fn(model_nodrop), num_classes=3)
+    loss, counts = ev(params, inputs, labels)
+    loss0, counts0 = ev0(params, inputs, labels)
+    assert float(loss) == pytest.approx(float(loss0), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts0))
+
+    # predict fn: deterministic across calls
+    pr = make_predict_fn(make_apply_fn(model))
+    out1 = np.asarray(pr(params, inputs))
+    out2 = np.asarray(pr(params, inputs))
+    np.testing.assert_array_equal(out1, out2)
+
+    # train step WITH dropout actually drops (train-mode output differs)
+    tr_logits = model.apply(
+        {"params": params},
+        inputs,
+        train=True,
+        apply_final_activation=False,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    ev_logits = model.apply(
+        {"params": params}, inputs, train=False, apply_final_activation=False
+    )
+    assert not np.allclose(np.asarray(tr_logits), np.asarray(ev_logits))
+
+
+def test_eval_step_final_sigmoid():
+    """final_sigmoid=True eval loss = CE(sigmoid(logits)) — matches the
+    torch-eval contract (tests/torch_oracle.py:111-124), NOT softmax."""
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.ops.losses import cross_entropy_ignore
+    from unetsulc_tpu.train.step import make_predict_fn
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=3,
+        init_channel_number=8,
+        final_sigmoid=True,
+        compute_dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    params = model.init(jax.random.key(0), x, train=True)["params"]
+    inputs, labels = _batch()
+    apply_fn = make_apply_fn(model)
+
+    ev = make_eval_step(apply_fn, num_classes=3, final_sigmoid=True)
+    loss, _ = ev(params, inputs, labels)
+
+    logits = apply_fn(params, inputs, train=False, apply_final_activation=False)
+    expect = cross_entropy_ignore(jax.nn.sigmoid(logits), labels)
+    wrong = cross_entropy_ignore(jax.nn.softmax(logits, axis=-1), labels)
+    assert float(loss) == pytest.approx(float(expect), rel=1e-6)
+    assert float(loss) != pytest.approx(float(wrong))
+
+    # predict path applies sigmoid (values equal elementwise sigmoid;
+    # jit-vs-eager fusion differences allow ~1e-5)
+    pr = make_predict_fn(apply_fn, final_sigmoid=True)
+    np.testing.assert_allclose(
+        np.asarray(pr(params, inputs)),
+        np.asarray(jax.nn.sigmoid(logits)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_eval_sigmoid_matches_torch_oracle():
+    """Eval-mode outputs of a final_sigmoid model match the torch oracle
+    (model.eval() applies nn.Sigmoid; ref pattern_class.py:266)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tests")
+    from torch_oracle import UNet3DOracle
+
+    from unetsulc_tpu.models.torch_interop import params_from_state_dict
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.train.step import make_predict_fn
+
+    torch.manual_seed(0)
+    oracle = UNet3DOracle(1, 3, final_sigmoid=True, init_channel_number=8)
+    oracle.eval()
+    params = params_from_state_dict(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}
+    )
+    model = UNet3D(
+        in_channels=1,
+        out_channels=3,
+        init_channel_number=8,
+        final_sigmoid=True,
+        compute_dtype=jnp.float32,
+    )
+    inputs, _ = _batch()
+    with torch.no_grad():
+        ref = (
+            oracle(torch.from_numpy(np.asarray(inputs)).permute(0, 4, 1, 2, 3))
+            .permute(0, 2, 3, 4, 1)
+            .numpy()
+        )
+    pr = make_predict_fn(make_apply_fn(model), final_sigmoid=True)
+    np.testing.assert_allclose(
+        np.asarray(pr(params, inputs)), ref, rtol=1e-4, atol=2e-4
+    )
+
+
+def test_label_fn_matches_full_volume_path():
+    """make_label_fn (gather-then-activate) == full-volume activate-then-
+    gather, for both softmax and sigmoid heads — the activation acts
+    per-voxel over channels, so the two orders are exactly equivalent."""
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.train.step import make_label_fn, make_predict_fn
+
+    inputs, _ = _batch()
+    rng = np.random.default_rng(3)
+    coords = rng.integers(0, 8, size=(3, 64)).astype(np.int32)
+    for final_sigmoid in (False, True):
+        model = UNet3D(
+            in_channels=1,
+            out_channels=3,
+            init_channel_number=8,
+            final_sigmoid=final_sigmoid,
+            compute_dtype=jnp.float32,
+        )
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), train=True
+        )["params"]
+        apply_fn = make_apply_fn(model)
+        label = make_label_fn(apply_fn, final_sigmoid=final_sigmoid)
+        ypred, yscores = label(params, inputs, *coords)
+
+        full = np.asarray(
+            make_predict_fn(apply_fn, final_sigmoid=final_sigmoid)(
+                params, inputs
+            )
+        )[0]
+        ref_scores = full[coords[0], coords[1], coords[2], :]
+        np.testing.assert_allclose(
+            np.asarray(yscores), ref_scores, rtol=1e-5, atol=1e-6
+        )
+        ref_pred = np.argmax(ref_scores, axis=-1)
+        np.testing.assert_array_equal(np.asarray(ypred), ref_pred)
 
 
 def test_controllers_semantics():

@@ -133,6 +133,9 @@ class TpuConfig:
     resume: bool = False
     # write per-fold evaluation CSVs (evaluations/<model>/<model>_cvK/...)
     evaluate: bool = False
+    # train-time rotation augmentation (reference always augments,
+    # ref dataset.py:33-43; off is used for torch-parity experiments)
+    augment: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "TpuConfig":

@@ -105,6 +105,21 @@ class SulciDataset:
     def __len__(self) -> int:
         return len(self.gfile_list)
 
+    def sample_extent(self, index: int) -> int:
+        """Max per-axis extent of sample ``index`` at the CURRENT epoch,
+        without voxelizing (pure point math).
+
+        Replays the same per-(seed, epoch, index) augmentation draw that
+        ``__getitem__`` will use, so the value is exact — this is what lets
+        the input pipeline group same-bucket samples into data-parallel
+        batches (data.pipeline.iterate_batches) without a voxelization
+        pre-pass."""
+        bck2, _ = self._load_points(self.gfile_list[index])
+        bck2 = bck2 - np.min(bck2, axis=0)
+        if self.train:
+            bck2 = augment_points(bck2, self.rot_angle, self._rng(index))
+        return int(np.max(bck2)) + 1
+
     def max_image_size(self, num_epochs: Optional[int] = None) -> np.ndarray:
         """Static per-axis size bound for the whole dataset.
 

@@ -39,42 +39,78 @@ def iterate_batches(
     batch_size: int,
     img_size: Optional[Sequence[int]] = None,
     epoch: int = 0,
+    alloc_batch: Optional[int] = None,
 ) -> Iterator[Batch]:
     """Yield static-shape batches in dataset order (reference: shuffle=False).
 
-    ``img_size=None`` (batch_size must be 1): per-sample *shape buckets* —
-    each sample is voxelized at its exact extent and padded up to the
-    nearest bucket (data.voxelize.DEFAULT_BUCKET_SIZES), so XLA compiles a
-    handful of executables and small samples don't pay the cohort-max
-    volume.  This is the TPU analogue of the reference's batch-1 dynamic
-    shapes (ref dataset.py:74-77).
+    ``img_size=None``: per-sample *shape buckets* — each sample is
+    voxelized at its exact extent and padded up to the nearest bucket
+    (data.voxelize.DEFAULT_BUCKET_SIZES), so XLA compiles a handful of
+    executables and small samples don't pay the cohort-max volume.  This is
+    the TPU analogue of the reference's batch-1 dynamic shapes
+    (ref dataset.py:74-77).  With ``batch_size > 1`` samples are GROUPED by
+    bucket (see inline note).
+
+    ``alloc_batch`` (>= batch_size) pads every batch's leading dim to a
+    fixed allocation — data parallelism needs the batch axis divisible by
+    the mesh's ``data`` axis; padding samples are all-background and
+    therefore exactly neutral in the masked loss/metrics.
     """
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)
     n = len(dataset)
+    alloc = alloc_batch or batch_size
+    assert alloc >= batch_size, (alloc, batch_size)
     if img_size is None:
-        assert batch_size == 1, "per-sample shape buckets require batch_size=1"
         from unetsulc_tpu.data.voxelize import bucket_size
 
+        if batch_size == 1 and alloc == 1:
+            for i in range(n):
+                vol_in, vol_lb = dataset[i]
+                # CUBIC buckets: one bucket per max-extent keeps the set of
+                # compiled shapes tiny (~2-3 per cohort); independent
+                # per-axis buckets explode into up to len(buckets)^3
+                # executables and the recompiles dominate (measured 200x
+                # slowdown on the chip).
+                b = bucket_size(max(vol_in.shape[:3]))
+                inputs = np.zeros((1, b, b, b, 1), np.float32)
+                labels = np.full((1, b, b, b), -1, np.int32)
+                sx, sy, sz = vol_in.shape[:3]
+                inputs[0, :sx, :sy, :sz] = vol_in
+                labels[0, :sx, :sy, :sz] = vol_lb
+                yield Batch(inputs=inputs, labels=labels, real=1)
+            return
+        # Bucket-GROUPED batching (batch_size > 1): group samples whose
+        # cubic bucket matches into full batches, so data-parallel training
+        # keeps the per-sample-bucket win instead of paying cohort-max
+        # volumes.  Short groups are padded with all-background samples —
+        # they contribute zero valid voxels, so the masked loss/metrics and
+        # gradients are bit-identical to dropping them.  NOTE: grouping
+        # reorders samples within the epoch; this path is used only for the
+        # data-parallel configuration, which has no reference counterpart
+        # (SURVEY.md §2.2 — new design).
+        groups: dict = {}
         for i in range(n):
-            vol_in, vol_lb = dataset[i]
-            # CUBIC buckets: one bucket per max-extent keeps the set of
-            # compiled shapes tiny (~2-3 per cohort); independent per-axis
-            # buckets explode into up to len(buckets)^3 executables and the
-            # recompiles dominate (measured 200x slowdown on the chip).
-            b = bucket_size(max(vol_in.shape[:3]))
-            inputs = np.zeros((1, b, b, b, 1), np.float32)
-            labels = np.full((1, b, b, b), -1, np.int32)
-            sx, sy, sz = vol_in.shape[:3]
-            inputs[0, :sx, :sy, :sz] = vol_in
-            labels[0, :sx, :sy, :sz] = vol_lb
-            yield Batch(inputs=inputs, labels=labels, real=1)
+            b = bucket_size(dataset.sample_extent(i))
+            groups.setdefault(b, []).append(i)
+        for b in sorted(groups):
+            idxs_all = groups[b]
+            for start in range(0, len(idxs_all), batch_size):
+                idxs = idxs_all[start : start + batch_size]
+                inputs = np.zeros((alloc, b, b, b, 1), np.float32)
+                labels = np.full((alloc, b, b, b), -1, np.int32)
+                for bi, i in enumerate(idxs):
+                    vol_in, vol_lb = dataset[i]
+                    sx, sy, sz = vol_in.shape[:3]
+                    inputs[bi, :sx, :sy, :sz] = vol_in
+                    labels[bi, :sx, :sy, :sz] = vol_lb
+                yield Batch(inputs=inputs, labels=labels, real=len(idxs))
         return
     sx, sy, sz = (int(s) for s in img_size)
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
-        inputs = np.zeros((batch_size, sx, sy, sz, 1), np.float32)
-        labels = np.full((batch_size, sx, sy, sz), -1, np.int32)
+        inputs = np.zeros((alloc, sx, sy, sz, 1), np.float32)
+        labels = np.full((alloc, sx, sy, sz), -1, np.int32)
         for bi, i in enumerate(idxs):
             vol_in, vol_lb = dataset[i]
             assert vol_in.shape[:3] == (sx, sy, sz), (

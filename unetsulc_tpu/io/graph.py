@@ -62,13 +62,24 @@ class Vertex:
 
 @dataclasses.dataclass
 class TalairachTransform:
-    """Affine p -> scale * (R @ (p) + t).
+    """Affine ``p -> scale * (R @ (p + t))`` — TRANSLATION FIRST.
 
-    ``aims.GraphManip.talairach`` composes the graph attributes
-    ``Talairach_rotation`` (row-major 3x3), ``Talairach_translation`` and an
-    optional diagonal ``Talairach_scale`` into a single affine; the scale is
-    applied last (assumption documented against the AIMS C++ source; the
-    reference itself only calls ``.transform(p)``, ref dataset.py:177,194).
+    ``aims.GraphManip.talairach`` composes the graph attributes into
+    ``scale_motion * rotation_motion * translation_motion`` (AIMS
+    graphmanip.cc: the rotation motion is multiplied by the translation
+    motion on the right, then the diagonal scale motion is applied last).
+    Semantically this is the classic Talairach normalisation pipeline:
+    translate the anterior commissure to the origin
+    (``Talairach_translation`` stores that shift), rotate into AC-PC
+    alignment (``Talairach_rotation``, row-major 3x3), then normalise
+    (``Talairach_scale`` diagonal).  The reference itself only ever calls
+    ``.transform(p)`` (ref dataset.py:177,194).
+
+    Composition order is pinned in CONTRACTS.md §3 (decision T1) and
+    enforced by a hand-computed fixture
+    (tests/test_io.py::test_contract_talairach_composition_order) — with
+    identity rotation or unit scale the two plausible orders coincide, so
+    the fixture uses a non-trivial R, t AND s.
     """
 
     rotation: np.ndarray  # (3, 3) float64
@@ -80,10 +91,10 @@ class TalairachTransform:
         return cls(np.eye(3), np.zeros(3))
 
     def matrix(self) -> np.ndarray:
-        """Return the 4x4 homogeneous matrix."""
+        """Return the 4x4 homogeneous matrix (scale @ rotation @ translation)."""
         m = np.eye(4)
         m[:3, :3] = self.rotation
-        m[:3, 3] = self.translation
+        m[:3, 3] = self.rotation @ self.translation
         if self.scale is not None:
             s = np.eye(4)
             s[:3, :3] = np.diag(self.scale)
@@ -93,7 +104,7 @@ class TalairachTransform:
     def transform(self, p) -> np.ndarray:
         """Apply to one point (3,) or a batch (n, 3)."""
         p = np.asarray(p, dtype=np.float64)
-        out = p @ self.rotation.T + self.translation
+        out = (p + self.translation) @ self.rotation.T
         if self.scale is not None:
             out = out * self.scale
         return out

@@ -38,7 +38,7 @@ from unetsulc_tpu.models.torch_interop import (
 from unetsulc_tpu.models.unet3d import UNet3D
 from unetsulc_tpu.ops.cutting import cutting
 from unetsulc_tpu.ops.esi import esi_score
-from unetsulc_tpu.train.step import make_predict_fn
+from unetsulc_tpu.train.step import make_label_fn
 
 # BrainVISA container fallbacks (ref pattern_class.py:152-172)
 from unetsulc_tpu.config import _DEFAULT_MODELS, _DEFAULT_PARAMS
@@ -193,12 +193,9 @@ class SulciLabeller:
         return UNet3D(**kw)
 
     def _apply_fn(self):
-        model = self.model_def
+        from unetsulc_tpu.models.unet3d import make_apply_fn
 
-        def apply_fn(params, inputs, train=True):
-            return model.apply({"params": params}, inputs, train=train)
-
-        return apply_fn
+        return make_apply_fn(self.model_def)
 
     # ------------------------------------------------------------------
     # inference (ref pattern_class.py:247-279)
@@ -238,18 +235,27 @@ class SulciLabeller:
         )
         vol_in, vol_lb = dataset[0]
 
-        key = vol_in.shape
-        if key not in self._predict_fns:
-            self._predict_fns[key] = make_predict_fn(self._apply_fn())
-        predict = self._predict_fns[key]
-        outputs = np.asarray(predict(self.params, vol_in[None]))[0]
+        if "label" not in self._predict_fns:
+            self._predict_fns["label"] = make_label_fn(
+                self._apply_fn(), final_sigmoid=self.model_def.final_sigmoid
+            )
+        label_fn = self._predict_fns["label"]
 
         tr = np.min(bck2, axis=0)
-        bck_t = np.transpose(bck2 - tr)
-        preds = np.argmax(outputs, axis=-1)
-        ypred = preds[bck_t[0], bck_t[1], bck_t[2]].tolist()
-        ytrue = vol_lb[bck_t[0], bck_t[1], bck_t[2]].tolist()
-        yscores = outputs[bck_t[0], bck_t[1], bck_t[2], :]
+        bck_t = np.asarray(bck2 - tr, dtype=np.int32)
+        n = len(bck_t)
+        # pad coords to a static bucket so the gather shape (and therefore
+        # the executable) is reused across graphs; padded rows gather voxel
+        # (0,0,0) and are sliced off below
+        n_pad = max(4096, -(-n // 4096) * 4096)
+        coords = np.zeros((3, n_pad), np.int32)
+        coords[:, :n] = bck_t.T
+        ypred_d, yscores_d = label_fn(
+            self.params, vol_in[None], coords[0], coords[1], coords[2]
+        )
+        ypred = np.asarray(ypred_d)[:n].tolist()
+        yscores = np.asarray(yscores_d)[:n]
+        ytrue = vol_lb[bck_t[:, 0], bck_t[:, 1], bck_t[:, 2]].tolist()
         return ytrue, ypred, yscores
 
     # ------------------------------------------------------------------

@@ -35,7 +35,7 @@ from unetsulc_tpu.data.pipeline import (
 )
 from unetsulc_tpu.experiment.tensorboard import SummaryWriter
 from unetsulc_tpu.method.base import SulciLabeller
-from unetsulc_tpu.models.unet3d import init_params
+from unetsulc_tpu.models.unet3d import init_params, make_apply_fn
 from unetsulc_tpu.ops.esi import esi_from_counts
 from unetsulc_tpu.train.controllers import DivideLr, EarlyStopping
 from unetsulc_tpu.train.step import (
@@ -57,10 +57,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float):
     (the reference pays a fresh optimizer+model per fold instead,
     ref main.py:131-137)."""
 
-    def apply_fn(params, inputs, train=True, rngs=None):
-        return model_def.apply(
-            {"params": params}, inputs, train=train, rngs=rngs
-        )
+    apply_fn = make_apply_fn(model_def)
 
     return (
         make_train_step(
@@ -69,7 +66,9 @@ def _cached_steps(model_def, num_classes: int, momentum: float):
             momentum=momentum,
             use_dropout=model_def.dropout > 0,
         ),
-        make_eval_step(apply_fn, num_classes),
+        make_eval_step(
+            apply_fn, num_classes, final_sigmoid=model_def.final_sigmoid
+        ),
     )
 
 
@@ -128,6 +127,7 @@ class TrainingSulciLabeller(SulciLabeller):
         batch_size: int,
         epoch: int,
         sharding=None,
+        alloc_batch=None,
     ):
         """One phase of one epoch. Returns (state, epoch_loss, counts, perf).
 
@@ -142,7 +142,9 @@ class TrainingSulciLabeller(SulciLabeller):
         timer = EpochTimer()
         loss_terms = []  # device scalars; summed lazily, fetched once
         count_terms = []
-        batches = iterate_batches(dataset, batch_size, img_size, epoch=epoch)
+        batches = iterate_batches(
+            dataset, batch_size, img_size, epoch=epoch, alloc_batch=alloc_batch
+        )
         for inputs, labels, real in device_iterator(
             batches, sharding=sharding, prefetch=self.tpu.prefetch
         ):
@@ -191,13 +193,17 @@ class TrainingSulciLabeller(SulciLabeller):
 
         # # DATASETS (static shapes) # #
         # batch 1 + shape_buckets: per-sample bucketed shapes (the TPU
-        # analogue of the reference's batch-1 dynamic sizes); otherwise one
-        # fixed size per dataset (the reference's batch>1 path).
-        per_sample = (
-            batch_size == 1
-            and self.tpu.shape_buckets
-            and self.tpu.data_parallel <= 1
-        )
+        # analogue of the reference's batch-1 dynamic sizes).  Under data
+        # parallelism, same-bucket samples are GROUPED into sharded batches
+        # so multi-chip keeps the ~6x bucketing win instead of falling back
+        # to cohort-max volumes.  Single-chip batch>1 keeps the reference's
+        # fixed-size path (and its recorded train/val_image_size).
+        dp = max(1, self.tpu.data_parallel)
+        per_sample = self.tpu.shape_buckets and (batch_size == 1 or dp > 1)
+        # data-parallel batches must have their leading dim divisible by the
+        # mesh's data axis; pad the allocation (padding = all-background
+        # samples, exactly neutral in the masked loss/metrics)
+        alloc_batch = -(-batch_size // dp) * dp if dp > 1 else None
 
         print("Extract validation dataloader...")
         valdataset = SulciDataset(
@@ -220,7 +226,7 @@ class TrainingSulciLabeller(SulciLabeller):
         traindataset = SulciDataset(
             gfile_list_train,
             self.dict_sulci,
-            train=True,
+            train=self.tpu.augment,
             translation_file=self.trfile,
             dict_bck2=self.dict_bck2,
             dict_names=self.dict_names,
@@ -245,13 +251,18 @@ class TrainingSulciLabeller(SulciLabeller):
         state = self._state
 
         sharding = None
-        if self.tpu.data_parallel > 1:
-            from unetsulc_tpu.parallel.mesh import batch_sharding, make_mesh
-
-            mesh = make_mesh(
-                data=self.tpu.data_parallel, space=self.tpu.spatial_parallel
+        if dp > 1 or self.tpu.spatial_parallel > 1:
+            from unetsulc_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicate,
             )
+
+            mesh = make_mesh(data=dp, space=self.tpu.spatial_parallel)
             sharding = batch_sharding(mesh)
+            # params/opt state replicated across the mesh; XLA then lowers
+            # the grad reduction to one all-reduce over ICI per step
+            state = jax.device_put(state, replicate(mesh))
 
         # # RESULTS / TENSORBOARD # #
         writer = None
@@ -264,7 +275,7 @@ class TrainingSulciLabeller(SulciLabeller):
             self.results["graphs_test"].append(list(gfile_list_test))
             self.results["graphs_train"].append(list(gfile_list_train))
             self.results["patience"] = patience
-            if batch_size > 1:
+            if batch_size > 1 and train_img_size is not None:
                 # ref training.py:152-158 records the fixed sizes
                 if num_training == 0:
                     self.results["train_image_size"] = [
@@ -361,6 +372,7 @@ class TrainingSulciLabeller(SulciLabeller):
                     batch_size,
                     epoch,
                     sharding,
+                    alloc_batch,
                 )
                 epoch_acc = 1 - esi_from_counts(counts, sslist_ids)
                 print(

@@ -412,6 +412,30 @@ def make_unet(
     )
 
 
+def make_apply_fn(model: UNet3D):
+    """Canonical ``apply_fn(params, inputs, train, apply_final_activation,
+    rngs)`` closure over a model definition.
+
+    The full signature matters: train/eval step builders
+    (:mod:`unetsulc_tpu.train.step`) pass ``train=False,
+    apply_final_activation=False`` to get eval-mode (dropout-off) raw
+    logits — a closure that drops those kwargs silently reintroduces the
+    train-mode-at-eval bug."""
+
+    def apply_fn(
+        params, inputs, train=True, apply_final_activation=None, rngs=None
+    ):
+        return model.apply(
+            {"params": params},
+            inputs,
+            train=train,
+            apply_final_activation=apply_final_activation,
+            rngs=rngs,
+        )
+
+    return apply_fn
+
+
 def init_params(model: UNet3D, rng: jax.Array, example_shape: Sequence[int]):
     """Initialize parameters for an input of ``example_shape`` (N,X,Y,Z,C)."""
     dummy = jnp.zeros(tuple(example_shape), jnp.float32)

@@ -25,6 +25,12 @@ relabelled whole by score vote.
 This is post-processing outside the jit hot loop, so it runs on host numpy/
 scipy (per SURVEY.md §2.3 plan); the voxels-of-interest score gather that
 feeds it is produced on-device.
+
+Every semantic decision that the reference does not pin (threshold ``>=``,
+score-vote vs count-vote, 26-connectivity, single-label folds, minority
+absorption order, tie-breaking) is documented with evidence and divergence
+risk in ``CONTRACTS.md`` §2 and enforced by hand-computed goldens
+(tests/test_ops.py::test_contract_*).
 """
 
 from __future__ import annotations

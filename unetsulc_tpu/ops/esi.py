@@ -9,6 +9,10 @@ ref pattern_class.py:233-234; metric defined in Borne et al. 2020):
 with labels that never occur (TP=FP=FN=0) contributing 0 error.  Reported
 accuracy is ``1 - esi`` and threshold scores are ``(1 - esi) * 100``.
 
+Every semantic decision (weighting, absent labels, background handling) is
+documented with evidence and divergence risk in ``CONTRACTS.md`` §1 and
+enforced by hand-computed goldens (tests/test_ops.py::test_contract_*).
+
 The reference accumulates *every non-background voxel prediction of an
 epoch in Python lists* (ref training.py:197,216-217) and scores at epoch
 end — memory-heavy and host-bound (SURVEY.md §3 hot loop #4).  Here the

@@ -151,23 +151,40 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _final_activation(logits, final_sigmoid: bool):
+    """The torch eval-mode final activation (ref UNet3D contract:
+    ``nn.Sigmoid() if final_sigmoid else nn.Softmax(dim=1)``)."""
+    if final_sigmoid:
+        return jax.nn.sigmoid(logits)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def make_eval_step(
     apply_fn: Callable,
     num_classes: int,
     background: int = -1,
     apply_activation: bool = True,
+    final_sigmoid: bool = False,
 ):
     """Build the jitted eval step: (params, inputs, labels) -> (loss, counts).
 
-    ``apply_activation=True`` reproduces the torch-eval-mode quirk (val loss
-    computed on activated outputs); argmax/metrics are activation-invariant.
+    Runs the model in eval mode (``train=False`` — dropout OFF, matching
+    ``model.eval()`` at ref training.py:185) but asks for *raw logits*
+    (``apply_final_activation=False``) so argmax/metrics run on unactivated
+    outputs.  ``apply_activation=True`` then reproduces the torch-eval-mode
+    quirk: the reference's val loss is ``CrossEntropyLoss(activation(logits))``
+    where the activation is sigmoid or softmax per the model's
+    ``final_sigmoid`` flag (tests/torch_oracle.py:111-124 mirrors the
+    deepsulci contract).
     """
 
     def step(params, inputs, labels):
-        logits = apply_fn(params, inputs, train=True)
+        logits = apply_fn(
+            params, inputs, train=False, apply_final_activation=False
+        )
         preds = jnp.argmax(logits, axis=-1)
         if apply_activation:
-            logits = jax.nn.softmax(logits, axis=-1)
+            logits = _final_activation(logits, final_sigmoid)
         loss = cross_entropy_ignore(logits, labels, background)
         counts = confusion_counts(labels, preds, num_classes, background)
         return loss, counts
@@ -175,15 +192,50 @@ def make_eval_step(
     return jax.jit(step)
 
 
-def make_predict_fn(apply_fn: Callable, apply_activation: bool = True):
-    """Inference forward (labeling path): returns eval-mode outputs
-    (activated, matching ref pattern_class.py:266 ``self.model.eval()``)."""
+def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
+    """Jitted labeling: (params, inputs, cx, cy, cz) -> (ypred, ytrue-free
+    yscores) at the bucket voxels ONLY.
+
+    The round-1 path softmaxed the full (X,Y,Z,C) volume on device and
+    fetched ALL of it to host before gathering ~3% of the voxels
+    (ref pattern_class.py:272-277 does the same on GPU).  Gathering first
+    is exactly equivalent — softmax/sigmoid act per-voxel over channels, so
+    gather∘activation == activation∘gather — and shrinks the device→host
+    transfer from O(volume x classes) to O(n_voxels x classes).
+
+    Coordinate arrays must be padded to a static length by the caller
+    (padding coords gather garbage rows that the caller slices off).
+    """
+
+    @jax.jit
+    def label(params, inputs, cx, cy, cz):
+        logits = apply_fn(
+            params, inputs, train=False, apply_final_activation=False
+        )[0]
+        picked = logits[cx, cy, cz, :]  # (n_pad, C)
+        ypred = jnp.argmax(picked, axis=-1)
+        yscores = _final_activation(picked, final_sigmoid)
+        return ypred, yscores
+
+    return label
+
+
+def make_predict_fn(
+    apply_fn: Callable,
+    apply_activation: bool = True,
+    final_sigmoid: bool = False,
+):
+    """Inference forward (labeling path): eval-mode outputs — dropout off,
+    then the model's final activation (sigmoid/softmax per ``final_sigmoid``),
+    matching ref pattern_class.py:266 ``self.model.eval()``."""
 
     @jax.jit
     def predict(params, inputs):
-        logits = apply_fn(params, inputs, train=True)
+        logits = apply_fn(
+            params, inputs, train=False, apply_final_activation=False
+        )
         if apply_activation:
-            logits = jax.nn.softmax(logits, axis=-1)
+            logits = _final_activation(logits, final_sigmoid)
         return logits
 
     return predict

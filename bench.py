@@ -18,6 +18,7 @@ import argparse
 import json
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -164,11 +165,112 @@ def bench_label_latency() -> float:
     return float(np.percentile(times, 50))
 
 
+def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
+    """Real train step over a (data=dp, space=sp) mesh.
+
+    One flag away from a real multi-chip number the day hardware exists:
+    on TPU hardware this measures weak scaling of the actual training
+    step; on the CPU backend (or when --check-equivalence is passed) it
+    additionally asserts that the sharded step reproduces the
+    single-device loss on the same global batch.  Returns voxels/sec
+    across the whole mesh.
+    """
+    import jax
+
+    from unetsulc_tpu.utils.cache import honor_platform_env
+
+    honor_platform_env()  # the axon PJRT plugin stomps JAX_PLATFORMS
+
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+    from unetsulc_tpu.train.step import TrainState, make_train_step
+
+    on_cpu = jax.default_backend() == "cpu"
+    if equivalence is None:
+        equivalence = on_cpu
+    # CPU = correctness harness (tiny shapes); TPU = the real measurement
+    volume = (16, 16, 16) if on_cpu else VOLUME
+    init_ch = 8 if on_cpu else INIT_CH
+    out_ch = 5 if on_cpu else OUT_CHANNELS
+    steps = 3 if on_cpu else STEPS
+
+    mesh = make_mesh(data=dp, space=sp)
+    model = UNet3D(
+        in_channels=1,
+        out_channels=out_ch,
+        init_channel_number=init_ch,
+        compute_dtype=jnp.float32 if on_cpu else jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    batch = max(dp, 1)
+    inputs, labels = _make_batch(rng, batch, volume)
+    labels = np.where(labels >= out_ch, -1, labels).astype(np.int32)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
+    )["params"]
+    apply_fn = make_apply_fn(model)
+    step = make_train_step(
+        apply_fn, num_classes=out_ch, momentum=0.9, donate=False
+    )
+
+    state = jax.device_put(TrainState.create(params, lr=0.01), replicate(mesh))
+    bs = batch_sharding(mesh)
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+
+    state, loss, _ = step(state, in_d, lb_d)  # compile
+    first_loss = float(loss)
+
+    if equivalence:
+        ref_state = TrainState.create(params, lr=0.01)
+        _, ref_loss, _ = step(
+            ref_state, jax.device_put(jnp.asarray(inputs)),
+            jax.device_put(jnp.asarray(labels)),
+        )
+        assert abs(first_loss - float(ref_loss)) <= 1e-5 * max(
+            1.0, abs(float(ref_loss))
+        ), f"mesh loss {first_loss} != single-device {float(ref_loss)}"
+
+    t0 = time.perf_counter()
+    loss_terms = []
+    for _ in range(steps):
+        state, loss, _ = step(state, in_d, lb_d)
+        loss_terms.append(loss)
+    float(sum(loss_terms))
+    dt = time.perf_counter() - t0
+    return batch * int(np.prod(volume)) * steps / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch-cpu-baseline", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--dp", type=int, default=0, help="data-parallel axis")
+    ap.add_argument("--sp", type=int, default=1, help="spatial-parallel axis")
+    ap.add_argument("--check-equivalence", action="store_true")
     args = ap.parse_args()
+
+    if args.dp or args.sp > 1:
+        v = bench_multichip(
+            max(args.dp, 1), args.sp,
+            equivalence=args.check_equivalence or None,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "unet3d_train_voxels_per_sec_mesh",
+                    "value": round(v, 1),
+                    "unit": "voxels/sec",
+                    "vs_baseline": round(
+                        v / TORCH_CPU_BASELINE_VOXELS_PER_SEC, 2
+                    ),
+                    "mesh": {"data": max(args.dp, 1), "space": args.sp},
+                }
+            )
+        )
+        return
 
     if args.latency:
         p50 = bench_label_latency()

@@ -245,3 +245,34 @@ def test_contract_esi_absent_label_counts_in_mean():
     ESI = (1/3 + 1/3 + 0)/3 = 2/9."""
     esi = esi_score(["A", "A", "B"], ["A", "B", "B"], ["A", "B", "C"])
     assert esi == pytest.approx(2.0 / 9.0)
+
+
+def test_max_pool_3d_matches_torch_incl_tie_gradients():
+    """ops.pooling.max_pool_3d: forward AND backward bit-match torch's
+    MaxPool3d(2, stride=2, padding=1).  Values are coarsely quantized so
+    windows contain genuine ties — the custom VJP must route the cotangent
+    to the first maximal element in (x, y, z) scan order, like torch (and
+    like the select_and_scatter backward this op replaces)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from unetsulc_tpu.ops.pooling import max_pool_3d
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 8, 8, 8, 4), (2, 9, 7, 5, 3)]:
+        x = np.round(rng.standard_normal(shape) * 2) / 2  # force ties
+        x = x.astype(np.float32)
+        g = rng.standard_normal(
+            (shape[0],) + tuple(d // 2 + 1 for d in shape[1:4]) + (shape[4],)
+        ).astype(np.float32)
+
+        out = np.asarray(max_pool_3d(jnp.asarray(x)))
+        dx = np.asarray(
+            jax.grad(lambda v: jnp.sum(max_pool_3d(v) * g))(jnp.asarray(x))
+        )
+
+        xt = torch.tensor(np.moveaxis(x, -1, 1), requires_grad=True)
+        ot = torch.nn.MaxPool3d(2, stride=2, padding=1)(xt)
+        ot.backward(torch.tensor(np.moveaxis(g, -1, 1)))
+        np.testing.assert_array_equal(out, np.moveaxis(ot.detach().numpy(), 1, -1))
+        np.testing.assert_array_equal(dx, np.moveaxis(xt.grad.numpy(), 1, -1))

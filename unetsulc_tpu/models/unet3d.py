@@ -60,6 +60,13 @@ def max_pool_3d(x: jnp.ndarray) -> jnp.ndarray:
 
     -inf padding reproduces torch's padded max pooling; output extent is
     floor(d/2) + 1 per axis.
+
+    Kept as reduce_window (select_and_scatter backward): measured FASTER
+    here than the reshape-window custom VJP in ops.pooling, because XLA
+    lays this graph out in its blocked conv layout and the window-view
+    reshapes force relayout copies (5.49M vs 6.04M voxels/s on v5e).  The
+    custom-VJP variant wins only on natively-laid-out buffers (the Pallas
+    fast path).
     """
     spatial = [(1, 1)] * 3
     pads = [(0, 0)] + spatial + [(0, 0)]

@@ -114,3 +114,128 @@ def test_chunked_gn_forward_and_grad(monkeypatch):
             np.asarray(a).ravel(), np.asarray(b).ravel(),
             rtol=2e-3, atol=2e-4,
         )
+
+
+# ---------------------------------------------------------------------------
+# fused conv+ReLU+GN-stats block kernels (ops/conv_pallas.py)
+# ---------------------------------------------------------------------------
+
+import unetsulc_tpu.ops.conv_pallas as cp
+from unetsulc_tpu.models.unet3d import UNet3D
+
+
+def _ref_crg_unit(x5, a, b, k5, bias):
+    """affine -> conv3x3x3 -> +bias -> relu, plus per-channel stat sums."""
+    xn = x5 * a + b
+    y = jax.lax.conv_general_dilated(
+        xn, k5, (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + bias
+    y = jnp.maximum(y, 0.0)
+    return y, jnp.stack([jnp.sum(y, axis=(0, 1, 2, 3)),
+                         jnp.sum(y * y, axis=(0, 1, 2, 3))])
+
+
+def _branch_affine(a, b, ci):
+    cs = cp.shard_width(ci)
+    return jnp.stack([a.reshape(ci // cs, cs), b.reshape(ci // cs, cs)], axis=1)
+
+
+def _dummies():
+    return (jnp.zeros((1, 2, 16, 8), jnp.float32),
+            jnp.zeros((1, 2, 8), jnp.float32),
+            jnp.zeros((1, 1, 27, 8, 8), jnp.float32))
+
+
+@pytest.mark.parametrize("cins,cout", [([16], 16), ([8, 16], 8), ([32], 16)])
+def test_fused_conv_block_fwd_and_grads(cins, cout):
+    """fused_conv_block == affine+conv+relu+stats, incl. ALL gradients.
+
+    Pins the v4 kernel design end to end: dz-tap lane merge, rolling
+    slabs, per-branch widths, partial-accumulator pair composition,
+    custom VJP (dx via mirrored-transposed shards, dW via the
+    tap-column contraction kernel)."""
+    r = np.random.default_rng(0)
+    X, Y, Z = 6, 5, 7
+    g = cp.make_geom(X, Y, Z)
+    xs5 = [jnp.asarray(r.standard_normal((1, X, Y, Z, ci)).astype(np.float32))
+           for ci in cins]
+    cin_t = sum(cins)
+    a = jnp.asarray((r.standard_normal(cin_t) * 0.5 + 1).astype(np.float32))
+    b = jnp.asarray((r.standard_normal(cin_t) * 0.1).astype(np.float32))
+    k5 = jnp.asarray((r.standard_normal((3, 3, 3, cin_t, cout)) * 0.2
+                      ).astype(np.float32))
+    bias = jnp.asarray((r.standard_normal(cout) * 0.1).astype(np.float32))
+    gy = jnp.asarray(r.standard_normal((1, X, Y, Z, cout)).astype(np.float32))
+    gs = jnp.asarray(r.standard_normal((2, cout)).astype(np.float32) * 0.01)
+
+    def loss_ref(k5):
+        y, s = _ref_crg_unit(jnp.concatenate(xs5, -1), a, b, k5, bias)
+        return jnp.sum(y * gy) + jnp.sum(s * gs), (y, s)
+
+    (_, (yref, sref)), dwref = jax.value_and_grad(loss_ref, has_aux=True)(k5)
+
+    c1 = cins[0]
+    xps = [cp.pad_to_geom(v, g) for v in xs5]
+    abs_ = [_branch_affine(a[:c1], b[:c1], c1)]
+    if len(cins) == 2:
+        abs_.append(_branch_affine(a[c1:], b[c1:], cins[1]))
+
+    def loss_pal(k5):
+        ws = list(cp.shard_weights(k5, cins, cout))
+        xs, ab = list(xps), list(abs_)
+        if len(cins) == 1:
+            d1, d2, d3 = _dummies()
+            xs, ab, ws = xs + [d1], ab + [d2], ws + [d3]
+        y, s = cp.fused_conv_block(xs[0], xs[1], ab[0], ab[1], ws[0], ws[1],
+                                   bias, len(cins), g, True)
+        y5 = cp.unpad_from_geom(y, g)
+        sflat = s.swapaxes(0, 1).reshape(2, -1)
+        return jnp.sum(y5 * gy) + jnp.sum(sflat * gs), (y5, sflat)
+
+    (_, (y5, sflat)), dwpal = jax.value_and_grad(loss_pal, has_aux=True)(k5)
+
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(yref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sflat), np.asarray(sref),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dwpal), np.asarray(dwref),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("num_conv", [1, 2])
+def test_unet_pallas_path_matches_xla(num_conv):
+    """UNet3D(pallas_blocks=True) == the XLA path: forward, eval-mode
+    probabilities, and every parameter gradient (fp32, interpret)."""
+    r = np.random.default_rng(0)
+    x = jnp.asarray((r.random((1, 9, 8, 10, 1)) < 0.1).astype(np.float32))
+    mk = dict(in_channels=1, out_channels=5, init_channel_number=8,
+              num_conv=num_conv, compute_dtype=jnp.float32)
+    mx = UNet3D(**mk)
+    mp = UNet3D(**mk, pallas_blocks=True)
+    params = mx.init(jax.random.key(0), x, train=True)["params"]
+
+    yx = mx.apply({"params": params}, x, train=True)
+    yp = mp.apply({"params": params}, x, train=True)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx),
+                               rtol=1e-4, atol=2e-4)
+
+    ex = mx.apply({"params": params}, x, train=False)
+    ep = mp.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(ex),
+                               rtol=1e-4, atol=1e-5)
+
+    gy = jnp.asarray(r.standard_normal(yx.shape).astype(np.float32))
+    gx = jax.grad(lambda p: jnp.sum(mx.apply({"params": p}, x, train=True) * gy))(params)
+    gp = jax.grad(lambda p: jnp.sum(mp.apply({"params": p}, x, train=True) * gy))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gp)}
+    for k, v in flat_x:
+        got = flat_p[jax.tree_util.keystr(k)]
+        scale = max(1.0, float(jnp.max(jnp.abs(v))))
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(v) / scale,
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(k))

@@ -32,6 +32,7 @@ Parameter tree naming intentionally mirrors the torch ``state_dict`` keys
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +41,46 @@ from flax import linen as nn
 
 from unetsulc_tpu.ops.groupnorm import group_norm
 from unetsulc_tpu.ops.resize import resize_trilinear
+from unetsulc_tpu.ops import conv_pallas as cp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PallasVol:
+    """A volume flowing through the fused-Pallas block pipeline.
+
+    ``buf`` is the (K, Xp, plane, cs) shard buffer of RAW post-ReLU conv
+    outputs (ops/conv_pallas.py layout); ``aff`` the pending lazy GroupNorm
+    affine (K, 2, cs) — consumed by the next conv kernel, or materialized
+    at pool / head boundaries; ``g`` the static padded geometry."""
+
+    buf: jnp.ndarray
+    aff: Optional[jnp.ndarray]
+    g: cp.Geom
+
+    @property
+    def channels(self) -> int:
+        return self.buf.shape[0] * self.buf.shape[-1]
+
+    def interior(self) -> jnp.ndarray:
+        """Materialize the normalized (1, X, Y, Z, C) interior view."""
+        return cp.apply_affine_5d(cp.unpad_from_geom(self.buf, self.g), self.aff)
+
+    def tree_flatten(self):
+        return (self.buf, self.aff), self.g
+
+    @classmethod
+    def tree_unflatten(cls, g, children):
+        return cls(children[0], children[1], g)
+
+
+def _wrap_pallas(x5: jnp.ndarray, aff: Optional[jnp.ndarray]) -> "PallasVol":
+    g = cp.make_geom(*x5.shape[1:4])
+    return PallasVol(cp.pad_to_geom(x5, g), aff, g)
+
+
+def _pallas_interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 def pick_num_groups(channels: int, preferred: int = 32) -> int:
@@ -98,9 +139,11 @@ class SplitConv3(nn.Module):
     @nn.compact
     def __call__(self, x):
         pair = isinstance(x, (tuple, list))
-        cin = (
-            x[0].shape[-1] + x[1].shape[-1] if pair else x.shape[-1]
-        )
+        pallas = isinstance(x[0] if pair else x, PallasVol)
+        if pallas:
+            cin = sum(v.channels for v in (x if pair else [x]))
+        else:
+            cin = x[0].shape[-1] + x[1].shape[-1] if pair else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -110,6 +153,8 @@ class SplitConv3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
+        if pallas:
+            return self._pallas_call(x if pair else [x], kernel, bias)
         precision = (
             jax.lax.Precision.HIGHEST
             if self.compute_dtype == jnp.float32
@@ -134,6 +179,35 @@ class SplitConv3(nn.Module):
             out = conv(x, k)
         return out + bias.astype(out.dtype)
 
+    def _pallas_call(self, vols, kernel, bias):
+        """Fused conv3x3x3 + ReLU + GN-stat-sums on PallasVol inputs.
+
+        Returns (y_buf, sums, g): the raw post-ReLU output shards and the
+        per-channel stat sums the caller turns into the next lazy GN
+        affine.  Each branch keeps its natural shard width; pending input
+        affines are consumed inside the kernel."""
+        g = vols[0].g
+        assert all(v.g == g for v in vols), [v.g for v in vols]
+        cins = [v.channels for v in vols]
+        ws = cp.shard_weights(kernel.astype(self.compute_dtype), cins,
+                              self.features)
+        abs_ = [
+            v.aff if v.aff is not None
+            else cp.identity_affine(v.buf.shape[0], v.buf.shape[-1])
+            for v in vols
+        ]
+        xs = [v.buf for v in vols]
+        if len(vols) == 1:
+            dt = xs[0].dtype
+            xs = xs + [jnp.zeros((1, 2, 16, 8), dt)]
+            abs_ = abs_ + [jnp.zeros((1, 2, 8), jnp.float32)]
+            ws = list(ws) + [jnp.zeros((1, 1, 27, 8, 8), dt)]
+        y, sums = cp.fused_conv_block(
+            xs[0], xs[1], abs_[0], abs_[1], ws[0], ws[1], bias,
+            len(vols), g, _pallas_interpret(),
+        )
+        return y, sums, g
+
 
 class DoubleConv(nn.Module):
     """Two 3x3x3 convs applying ops in ``order`` per conv.
@@ -156,8 +230,50 @@ class DoubleConv(nn.Module):
     out_channels: int
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    pallas: bool = False
+
+    def _block_pallas(self, x, pos: int, out_channels: int) -> "PallasVol":
+        """One fused 'crg' unit on the Pallas pipeline.
+
+        PallasVol (or pair) input -> fused conv+ReLU+stat kernel; a plain
+        (1,X,Y,Z,C) array input (the tiny in_channels->mid first conv,
+        whose shard width would underfeed the MXU) runs the XLA conv +
+        ReLU and enters the pipeline here.  Either way GroupNorm becomes
+        the lazy affine carried by the returned PallasVol."""
+        if isinstance(x, jnp.ndarray):
+            y = SplitConv3(
+                features=out_channels,
+                compute_dtype=self.compute_dtype,
+                name=f"conv{pos}",
+            )(x)
+            y = nn.relu(y)
+            sums = cp.stat_sums_5d(y, cp.shard_width(out_channels))
+            vol = _wrap_pallas(y, None)
+            y_buf, g = vol.buf, vol.g
+        else:
+            y_buf, sums, g = SplitConv3(
+                features=out_channels,
+                compute_dtype=self.compute_dtype,
+                name=f"conv{pos}",
+            )(x)
+        scale = self.param(
+            f"norm{pos}_scale", nn.initializers.ones, (out_channels,),
+            jnp.float32,
+        )
+        bias = self.param(
+            f"norm{pos}_bias", nn.initializers.zeros, (out_channels,),
+            jnp.float32,
+        )
+        aff = cp.gn_affine_from_sums(
+            sums, scale, bias, pick_num_groups(out_channels), g.voxels
+        )
+        return PallasVol(y_buf, aff, g)
 
     def _block(self, x, pos: int, out_channels: int) -> jnp.ndarray:
+        if self.pallas:
+            if self.order != "crg":
+                raise ValueError("pallas blocks support only 'crg' order")
+            return self._block_pallas(x, pos, out_channels)
         if isinstance(x, (tuple, list)) and not self.order.startswith("c"):
             raise ValueError(
                 "pair (concat-free) inputs require the conv first in order"
@@ -211,16 +327,24 @@ class Encoder(nn.Module):
     pool: bool = True
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.pool:
-            x = max_pool_3d(x)
+            if isinstance(x, PallasVol):
+                # pending GN affine does NOT commute with max: materialize
+                # it on the interior view, pool with torch's -inf-pad
+                # semantics, re-enter the pipeline affine-free
+                x = _wrap_pallas(max_pool_3d(x.interior()), None)
+            else:
+                x = max_pool_3d(x)
         return DoubleConv(
             self.in_channels,
             self.out_channels,
             self.order,
             compute_dtype=self.compute_dtype,
+            pallas=self.pallas,
             name="double_conv",
         )(x)
 
@@ -231,6 +355,7 @@ class Decoder(nn.Module):
     interpolate: bool = True
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -242,6 +367,23 @@ class Decoder(nn.Module):
                 "reference always runs interpolate=True "
                 "(ref pattern_class.py:85, fill_dict_model default)"
             )
+        if isinstance(x, PallasVol):
+            # trilinear resize is affine-commuting (weights sum to 1 per
+            # output voxel), so resize the RAW buffer and keep the lazy GN
+            # affine pending into the pair conv
+            gt = encoder_features.g
+            up5 = resize_trilinear(
+                cp.unpad_from_geom(x.buf, x.g), (gt.X, gt.Y, gt.Z)
+            )
+            up = PallasVol(cp.pad_to_geom(up5, gt), x.aff, gt)
+            return DoubleConv(
+                self.in_channels,
+                self.out_channels,
+                self.order,
+                compute_dtype=self.compute_dtype,
+                pallas=True,
+                name="double_conv",
+            )((encoder_features, up))
         target = encoder_features.shape[1:4]
         x = resize_trilinear(x, target)
         # pass the (skip, upsampled) pair: the first conv applies split
@@ -274,6 +416,10 @@ class FinalConvHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if isinstance(x, PallasVol):
+            # leave the pipeline: materialize the last block's GN affine on
+            # the interior view; the 1x1x1 chain is a plain lane matmul
+            x = x.interior()
         precision = (
             jax.lax.Precision.HIGHEST
             if self.compute_dtype == jnp.float32
@@ -326,6 +472,33 @@ class UNet3D(nn.Module):
     # in HBM - enables full-resolution hemispheres on one chip
     # (jax.checkpoint; see SURVEY.md §5 long-context analogue)
     remat: bool = False
+    # run the conv blocks through the fused Pallas pipeline
+    # (ops/conv_pallas.py).  None/False = XLA path; True = fused path when
+    # eligible (batch 1, dropout 0, 'crg', interpolate) with silent
+    # fallback otherwise — eval/labeling on the same model definition must
+    # keep working for any input.
+    pallas_blocks: Optional[bool] = None
+
+    def _pallas_eligible(self, x: jnp.ndarray) -> bool:
+        # on real TPU hardware the kernels' f32 matmuls run at Mosaic's
+        # default (reduced) MXU precision, which would silently break the
+        # Precision.HIGHEST torch-parity contract of the f32 XLA path —
+        # restrict the hardware path to bf16 compute (interpret mode, used
+        # by the CPU test mesh, is exact in any dtype)
+        dtype_ok = (
+            self.compute_dtype != jnp.float32 or _pallas_interpret()
+        )
+        return bool(
+            self.pallas_blocks
+            and not self.is_initializing()
+            and x.ndim == 5
+            and x.shape[0] == 1
+            and self.dropout == 0
+            and self.conv_layer_order == "crg"
+            and self.interpolate
+            and dtype_ok
+            and min(x.shape[1:4]) >= 4
+        )
 
     @nn.compact
     def __call__(
@@ -342,6 +515,7 @@ class UNet3D(nn.Module):
             (4 * i, 8 * i),
         ]
         x = x.astype(self.compute_dtype)
+        pallas = self._pallas_eligible(x)
         enc_cls = nn.remat(Encoder) if self.remat else Encoder
         dec_cls = nn.remat(Decoder) if self.remat else Decoder
         skips = []
@@ -352,6 +526,7 @@ class UNet3D(nn.Module):
                 pool=(n != 0),
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
+                pallas=pallas,
                 name=f"encoders_{n}",
             )(x)
             if self.dropout > 0:
@@ -371,6 +546,7 @@ class UNet3D(nn.Module):
                 interpolate=self.interpolate,
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
+                pallas=pallas,
                 name=f"decoders_{n}",
             )(skip, x)
 

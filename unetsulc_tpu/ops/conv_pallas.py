@@ -4,35 +4,48 @@ This is the round-2 performance centerpiece (VERDICT.md item 1).  The XLA
 lowering of the reference hot loop (ref training.py:198-217) tiles the 96^3
 volumes into a blocked conv layout ([96,96,8,13,C] with z padded to 104)
 and every surrounding elementwise/GN/relayout pass inherits it — the
-round-1 profile showed ~125 ms of memory-bound tail around ~20 ms of conv
-roofline.  These kernels instead keep activations in ONE canonical layout
+round-1 profile showed ~125 ms of memory-bound tail around the conv
+fusions.  These kernels instead keep activations in ONE canonical layout
 and fuse the whole block.
 
 Layout
 ======
 A volume lives in HBM as ``(K, Xp, plane, cs)``: channels split into K
-shards of width ``cs`` (Mosaic cannot slice the lane dimension, so shards
-are addressed by a leading index), each zero-padded x-plane flattened to
-``plane = Yp*Zp`` row-major (y, z) rows with channels on lanes.  In VMEM
-the three active planes sit in a scratch with ``vguard = Zp+16`` zero
-guard rows, so every conv tap is the row slice
-``[vguard + dy*Zp + dz, ...)`` — sublane aligned except the +/-1 z taps
-(one Mosaic roll each); the guards keep the wrap-around slices of
-(masked) border rows in bounds and zero.  ``Zp`` is a multiple of 16.
+shards of width ``cs`` (Mosaic cannot slice the lane dimension at
+sub-shard granularity, so shards are addressed by a leading index), each
+zero-padded x-plane flattened to ``plane = Yp*Zp`` row-major (y, z) rows
+with channels on lanes.  ``Zp`` is a multiple of 16.
 
-The forward kernel's grid is ``(x-planes, in-shards)``; each step sees
-three auto-pipelined block refs of the input shard — previous / current /
-next plane, via clamped BlockSpec index maps — plus the weight shard.  It
-applies the *lazy GroupNorm apply* of the previous block as a per-channel
-affine under the interior mask (conv zero-padding must stay zero; the
-mask also neutralizes the clamped halo fetches at the volume ends), runs
-the 81 tap matmuls (27 taps x 3 source planes collapsed to 27 dots) on
+Tap-merged matmuls (the v4 rewrite)
+===================================
+The naive kernel issued 27 dots of (plane, cs) @ (cs, cso) per grid step;
+at cs = 64 that feeds the 128x128 MXU a K=64/N=64 problem (<=25%
+utilization; 13-19 TF/s measured).  v4 merges the three dz taps into the
+contraction dimension: a VMEM slab per x-plane holds
+``[x[r-1], x[r], x[r+1]]`` lane-concatenated (width 3*cs), so one dot of
+(plane, 3cs) @ (3cs, cso) covers a whole (dx, dy) tap column — K=192 at
+cs=64 (75% K-passes), K=384 at cs=128 (100%).  The dy taps become row
+offsets (+-Zp) into the slab, whose ``Zp`` guard rows on both sides keep
+them in bounds and zero; dx indexes one of three slabs.  9 large dots per
+plane instead of 27 small ones.
+
+Slabs roll: each grid step normalizes and lane-concatenates ONLY the
+incoming plane t+1 into slab ``(t+1) % 3`` (two sublane rolls for the
++-1-row chunks), so build cost is one plane, not three.  The forward
+grid is ``(x-planes, in-shards)`` with the in-shard axis fastest; the
+rolling slabs are per in-shard.
+
+The forward kernel applies the *lazy GroupNorm apply* of the previous
+block as a per-channel affine under the interior mask while building the
+slab (conv zero-padding must stay zero; the mask also neutralizes the
+clamped halo fetch at the volume end), runs the 9 tap-column matmuls on
 the MXU into per-out-shard fp32 accumulators, and on the last in-shard
-adds bias, applies ReLU + the interior mask, accumulates per-channel
-sum / sum-of-squares for THIS block's GroupNorm, and writes the output
-plane.  One streamed HBM read of x (x3 for the plane halo, overlapped by
-the pipeline), one write of y — versus XLA's separate conv / stats /
-apply / relayout passes.
+adds bias (plus an optional ``partial`` pre-activation accumulator from a
+previous call — how multi-input decoder blocks compose), applies ReLU +
+the interior mask, accumulates per-channel sum / sum-of-squares for THIS
+block's GroupNorm, and writes the output plane.  One streamed HBM read of
+x, one write of y — versus XLA's separate conv / stats / apply / relayout
+passes.
 
 GroupNorm itself is never materialized: its per-channel affine
 ``a = inv*scale, b = bias - mean*a`` (computed from the stat sums by tiny
@@ -40,15 +53,17 @@ JAX math, ``gn_affine_from_sums``) is consumed lazily by the next conv /
 pool / resize / classification head.
 
 Backward = the same conv kernel with mirrored+transposed tap shards (dx)
-plus a per-tap row-contraction kernel (dW); the ReLU/stats cotangent and
-d(affine) are fused JAX elementwise passes.  ``fused_conv_block`` wires
-it all into ``jax.custom_vjp`` so plain autodiff over the model yields
-exact gradients.
+plus a per-tap-column contraction kernel (dW, same slabs, contracting
+over plane rows); the ReLU/stats cotangent and d(affine) are fused JAX
+elementwise passes.  ``fused_conv_block`` wires it all into
+``jax.custom_vjp`` so plain autodiff over the model yields exact
+gradients.
 
-Decoder blocks pass TWO inputs (skip, upsampled) whose shard arrays are
-concatenated — the channel concat itself never exists at full width in a
-compute pass (same linearity trick as models.unet3d.SplitConv3; the
-transfer-learning contract and param naming are untouched).
+Decoder blocks pass TWO inputs (skip, upsampled): the first branch's conv
+writes a pre-activation ``partial`` buffer that the second branch's call
+consumes — the channel concat never exists (same linearity trick as
+models.unet3d.SplitConv3; the transfer-learning contract and param naming
+are untouched), and each branch keeps its natural shard width.
 
 Reference semantics preserved: 'crg' order conv->ReLU->GroupNorm with
 zero padding included in GN statistics (SURVEY.md §7 hard part #2); the
@@ -67,7 +82,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_SHARD = 64  # default lane width of one channel shard
+MAX_SHARD = 128  # widest lane shard; 128 lanes = full MXU contraction rows
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -83,7 +99,8 @@ def shard_width(c: int) -> int:
 
 
 def pair_width(cins: Sequence[int]) -> int:
-    """Uniform in-shard width for a (possibly multi-branch) conv input."""
+    """Uniform in-shard width for a multi-branch conv input (legacy v3 API;
+    v4 pair branches keep their own natural widths)."""
     return min(shard_width(ci) for ci in cins)
 
 
@@ -106,10 +123,6 @@ class Geom:
     @property
     def plane(self) -> int:  # rows per stored x-plane
         return self.Yp * self.Zp
-
-    @property
-    def vguard(self) -> int:  # zero guard rows in the VMEM plane scratch
-        return self.Zp + 16
 
     @property
     def voxels(self) -> int:
@@ -159,11 +172,7 @@ def unpad_from_geom(buf: jnp.ndarray, g: Geom) -> jnp.ndarray:
 
 
 def reshard(buf: jnp.ndarray, cs_new: int) -> jnp.ndarray:
-    """(K, Xp, ps, cs) -> (K*cs/cs_new, Xp, ps, cs_new), channel order kept.
-
-    Pair inputs must share one shard width; when branch widths differ
-    (small test configs) the wider buffer is resharded down.  A real
-    relayout copy — the flagship config's pairs are already uniform."""
+    """(K, Xp, ps, cs) -> (K*cs/cs_new, Xp, ps, cs_new), channel order kept."""
     k, xp, ps, cs = buf.shape
     if cs == cs_new:
         return buf
@@ -181,17 +190,17 @@ def shard_weights(
 ):
     """(3,3,3,Cin_total,Cout) DHWIO -> per-branch (Kin, Kout, 27, csi, cso).
 
-    Tap index = dx'*9 + dy'*3 + dz' (row-major, d' = d+1), matching the
-    kernel's tap loop."""
+    Tap index = dx'*9 + dy'*3 + dz' (row-major, d' = d+1).  When ``csi``
+    is None each branch gets its own natural shard width."""
     taps = w.reshape(27, sum(cins), cout)
     cso = shard_width(cout)
     kout = cout // cso
-    csi = csi or pair_width(cins)
     out, c0 = [], 0
     for ci in cins:
-        kin = ci // csi
+        cw = csi or shard_width(ci)
+        kin = ci // cw
         wb = taps[:, c0 : c0 + ci, :]
-        wb = wb.reshape(27, kin, csi, kout, cso).transpose(1, 3, 0, 2, 4)
+        wb = wb.reshape(27, kin, cw, kout, cso).transpose(1, 3, 0, 2, 4)
         out.append(wb)
         c0 += ci
     return out
@@ -205,17 +214,14 @@ def mirror_transpose_shards(wb: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(wb, axis=2).transpose(1, 0, 2, 4, 3)
 
 
-def _masked_affine_plane(ref_plane, ab, mask, px, g: Geom):
-    """(plane, cs) plane -> mask * (a*x + b), fp32 -> input dtype.
+def pack_weights_zcat(wb: jnp.ndarray) -> jnp.ndarray:
+    """(Kin, Kout, 27, cs, cso) -> (Kin, Kout, 3, 3, 3*cs, cso).
 
-    px is the UNCLAMPED plane index: out-of-range halo planes (clamped
-    fetches at the volume ends) mask to exact zeros, so the clamped
-    BlockSpec index maps never leak data."""
-    a = ab[0:1, :]
-    b = ab[1:2, :]
-    mj = mask * jnp.where((px >= 1) & (px <= g.X), 1.0, 0.0)
-    return ((ref_plane.astype(jnp.float32) * a + b) * mj).astype(
-        ref_plane.dtype
+    Merges the dz tap axis into the contraction dim, matching the slab's
+    lane-concat order (dz-major, then channel)."""
+    kin, kout, _, cs, cso = wb.shape
+    return wb.reshape(kin, kout, 3, 3, 3, cs, cso).reshape(
+        kin, kout, 3, 3, 3 * cs, cso
     )
 
 
@@ -224,80 +230,116 @@ def _masked_affine_plane(ref_plane, ab, mask, px, g: Geom):
 # ---------------------------------------------------------------------------
 
 
+def _norm_plane(src_plane, ab, mask, px, g: Geom, has_affine: bool):
+    """(plane, cs) -> fp32-normalized, interior-masked plane (src dtype).
+
+    px is the UNCLAMPED plane index: out-of-range halo planes (clamped
+    fetches at the volume ends) mask to exact zeros when the affine path
+    is active.  Without an affine the input is trusted to be zero on all
+    padding (true for conv outputs of these kernels and for cotangents)."""
+    if not has_affine:
+        return src_plane
+    a = ab[0:1, :]
+    b = ab[1:2, :]
+    mj = mask * jnp.where((px >= 1) & (px <= g.X), 1.0, 0.0)
+    return ((src_plane.astype(jnp.float32) * a + b) * mj).astype(src_plane.dtype)
+
+
+def _build_slab(zcat, ki, si, norm, ps: int, cs: int, sg: int):
+    """Write the dz lane-concat of ``norm`` into slab (ki, si).
+
+    Slab rows [sg, sg+ps) hold [norm[r-1], norm[r], norm[r+1]] on lanes;
+    the single out-of-plane edge row per shifted chunk is zeroed.  Guard
+    rows ([0, sg) and [sg+ps, ...)) are zeroed once at grid start and
+    never written again."""
+    zero_row = jnp.zeros((1, cs), norm.dtype)
+    # dz = -1 chunk: rows shift down by one; row 0 reads out-of-plane -> 0
+    zcat[ki, si, sg + 1 : sg + ps, 0:cs] = norm[0 : ps - 1, :]
+    zcat[ki, si, sg : sg + 1, 0:cs] = zero_row
+    # dz = 0 chunk: direct copy
+    zcat[ki, si, sg : sg + ps, cs : 2 * cs] = norm
+    # dz = +1 chunk: rows shift up by one; last row reads out-of-plane -> 0
+    zcat[ki, si, sg : sg + ps - 1, 2 * cs : 3 * cs] = norm[1:ps, :]
+    zcat[ki, si, sg + ps - 1 : sg + ps, 2 * cs : 3 * cs] = zero_row
+
+
 def _fwd_kernel(
     *refs,
     g: Geom,
+    kin: int,
     kout: int,
     has_affine: bool,
+    has_partial: bool,
     relu: bool,
     stats: bool,
     out_dtype,
 ):
     i = 0
-    xprev, xmid, xnext = refs[i : i + 3]  # (1, 1, plane, cs) blocks
-    i += 3
+    xmid, xnext = refs[i : i + 2]  # (1, 1, plane, cs) blocks
+    i += 2
     ab_ref = None
     if has_affine:
         ab_ref = refs[i]  # (1, 2, cs)
         i += 1
-    w_ref = refs[i]  # (1, kout, 27, cs, cso)
+    wz_ref = refs[i]  # (1, kout, 3, 3, 3cs, cso)
     bias_ref = refs[i + 1]  # (kout, 1, cso)
     mask_ref = refs[i + 2]  # (plane, 1)
     i += 3
+    part_ref = None
+    if has_partial:
+        part_ref = refs[i]  # (kout, 1, plane, cso) block
+        i += 1
     y_ref = refs[i]  # (kout, 1, plane, cso) block
     sums_ref = refs[i + 1]  # (kout, 2, cso)
     i += 2
-    xn, acc, stat_acc = refs[i : i + 3]
+    zcat, acc, stat_acc = refs[i : i + 3]
 
     t = pl.program_id(0)
     ki = pl.program_id(1)
     n_t = pl.num_programs(0)
     n_ki = pl.num_programs(1)
     ps = g.plane
-    gp = g.vguard
+    sg = g.Zp  # row guard on each side of a slab (covers the +-Zp dy taps)
+    cs = xmid.shape[-1]
     mask = mask_ref[...]
+
+    @pl.when(t == 0)
+    def _():  # plane 0 is conv padding: its slab (and all guards) = zeros
+        zcat[ki] = jnp.zeros(zcat.shape[1:], zcat.dtype)
+
+    # build the incoming plane t+1 into slab (t+1) % 3
+    norm = _norm_plane(xnext[0, 0], ab_ref[0] if has_affine else None,
+                       mask, t + 1, g, has_affine)
+    _build_slab(zcat, ki, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
     border = (t == 0) | (t == n_t - 1)
 
-    @pl.when((t <= 1) & (ki == 0))
-    def _():  # zero the xn guard rows once (scratch starts uninitialized)
-        for j in range(3):
-            xn[j, 0:gp, :] = jnp.zeros_like(xn[j, 0:gp, :])
-            xn[j, gp + ps :, :] = jnp.zeros_like(xn[j, gp + ps :, :])
-
     @pl.when(jnp.logical_not(border))
     def _():
-        # normalize the three source planes (or just copy, when the input
-        # is already normalized / this is a plain conv)
-        for j, src in enumerate((xprev, xmid, xnext)):
-            if has_affine:
-                xn[j, gp : gp + ps, :] = _masked_affine_plane(
-                    src[0, 0], ab_ref[0], mask, t + j - 1, g
-                )
-            else:
-                xn[j, gp : gp + ps, :] = src[0, 0]
-
         for ko in range(kout):
-            for tap in range(27):
-                dx, rem = divmod(tap, 9)
-                dy, dz = divmod(rem, 3)
-                s = gp + (dy - 1) * g.Zp + (dz - 1)
-                contrib = jax.lax.dot_general(
-                    xn[dx, s : s + ps, :],
-                    w_ref[0, ko, tap],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if tap == 0:
-                    @pl.when(ki == 0)
-                    def _(ko=ko, contrib=contrib):
-                        acc[ko] = contrib
+            first = True
+            for dx in range(3):
+                si = jax.lax.rem(t + 2 + dx, 3)  # slab of plane t-1+dx
+                for dy in range(3):
+                    s = sg + (dy - 1) * g.Zp
+                    contrib = jax.lax.dot_general(
+                        zcat[ki, si, s : s + ps, :],
+                        wz_ref[0, ko, dx, dy],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if first:
+                        first = False
 
-                    @pl.when(ki != 0)
-                    def _(ko=ko, contrib=contrib):
+                        @pl.when(ki == 0)
+                        def _(ko=ko, contrib=contrib):
+                            acc[ko] = contrib
+
+                        @pl.when(ki != 0)
+                        def _(ko=ko, contrib=contrib):
+                            acc[ko] += contrib
+                    else:
                         acc[ko] += contrib
-                else:
-                    acc[ko] += contrib
 
         @pl.when(ki == n_ki - 1)
         def _():
@@ -306,6 +348,8 @@ def _fwd_kernel(
             mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
             for ko in range(kout):
                 out = acc[ko] + bias_ref[ko]
+                if has_partial:
+                    out = out + part_ref[ko, 0].astype(jnp.float32)
                 if relu:
                     out = jnp.maximum(out, 0.0)
                 out = out * mask_t
@@ -344,12 +388,15 @@ def conv_shards(
     relu: bool,
     stats: bool,
     out_dtype=None,
+    partial: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ):
     """Run the fused conv over a channel-sharded input.
 
-    x: (Kin, Xp, plane, cs); ab: (Kin, 2, cs) or None;
-    w: (Kin, Kout, 27, cs, cso); bias: (Cout,) or None.
+    x: (Kin, Xp, plane, cs); ab: (Kin, 2, cs) or None (None requires x to
+    be zero on all padding rows/planes); w: (Kin, Kout, 27, cs, cso);
+    bias: (Cout,) or None; partial: optional (Kout, Xp, plane, cso)
+    pre-activation accumulator added before ReLU/stats.
     Returns (y (Kout, Xp, plane, cso), sums (Kout, 2, cso) f32).
     """
     kin, xp, ps, cs = (int(v) for v in x.shape)
@@ -359,12 +406,15 @@ def conv_shards(
     out_dtype = out_dtype or x.dtype
     if bias is None:
         bias = jnp.zeros((kout * cso,), jnp.float32)
+    wz = pack_weights_zcat(w)
 
     kern = functools.partial(
         _fwd_kernel,
         g=g,
+        kin=kin,
         kout=kout,
         has_affine=ab is not None,
+        has_partial=partial is not None,
         relu=relu,
         stats=stats,
         out_dtype=out_dtype,
@@ -372,11 +422,6 @@ def conv_shards(
 
     last = g.Xp - 1
     in_specs = [
-        pl.BlockSpec(
-            (1, 1, ps, cs),
-            lambda t, ki: (ki, jnp.maximum(t - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
         pl.BlockSpec(
             (1, 1, ps, cs), lambda t, ki: (ki, t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -386,7 +431,7 @@ def conv_shards(
             memory_space=pltpu.VMEM,
         ),
     ]
-    operands = [x, x, x]
+    operands = [x, x]
     if ab is not None:
         assert ab.shape == (kin, 2, cs), (ab.shape,)
         in_specs.append(
@@ -397,8 +442,8 @@ def conv_shards(
         operands.append(ab.astype(jnp.float32))
     in_specs += [
         pl.BlockSpec(
-            (1, kout, 27, cs, cso),
-            lambda t, ki: (ki, 0, 0, 0, 0),
+            (1, kout, 3, 3, 3 * cs, cso),
+            lambda t, ki: (ki, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -407,11 +452,22 @@ def conv_shards(
         pl.BlockSpec((ps, 1), lambda t, ki: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands += [
-        w,
+        wz,
         bias.reshape(kout, 1, cso).astype(jnp.float32),
         jnp.asarray(g.interior_mask_rows()),
     ]
+    if partial is not None:
+        assert partial.shape == (kout, g.Xp, ps, cso), (partial.shape,)
+        in_specs.append(
+            pl.BlockSpec(
+                (kout, 1, ps, cso),
+                lambda t, ki: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(partial)
 
+    sg = g.Zp
     y, sums = pl.pallas_call(
         kern,
         grid=(g.Xp, kin),
@@ -431,13 +487,11 @@ def conv_shards(
             jax.ShapeDtypeStruct((kout, 2, cso), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, ps + 2 * g.vguard, cs), x.dtype),
+            pltpu.VMEM((kin, 3, ps + 2 * sg, 3 * cs), x.dtype),
             pltpu.VMEM((kout, ps, cso), jnp.float32),
             pltpu.VMEM((kout, 2, cso), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return y, sums
@@ -455,8 +509,8 @@ def _wgrad_kernel(
     has_affine: bool,
 ):
     i = 0
-    xprev, xmid, xnext = refs[i : i + 3]
-    i += 3
+    xnext = refs[i]  # (1, 1, plane, cs) block
+    i += 1
     ab_ref = None
     if has_affine:
         ab_ref = refs[i]
@@ -464,52 +518,44 @@ def _wgrad_kernel(
     dconv_ref = refs[i]  # (kout, 1, plane, cso) block
     mask_ref = refs[i + 1]
     i += 2
-    dw_ref = refs[i]  # (1, kout, 27, cs, cso) block
+    dw_ref = refs[i]  # (1, kout, 3, 3, 3cs, cso) block
     i += 1
-    xn = refs[i]
+    zcat = refs[i]  # (1, 3, ps + 2sg, 3cs) rolling slabs (single shard)
 
     ki = pl.program_id(0)
     t = pl.program_id(1)
     ps = g.plane
-    gp = g.vguard
+    sg = g.Zp
+    cs = xnext.shape[-1]
     mask = mask_ref[...]
 
-    @pl.when((ki == 0) & (t == 0))
-    def _():  # zero the xn guard rows once
-        for j in range(3):
-            xn[j, 0:gp, :] = jnp.zeros_like(xn[j, 0:gp, :])
-            xn[j, gp + ps :, :] = jnp.zeros_like(xn[j, gp + ps :, :])
+    @pl.when(t == 0)
+    def _():
+        zcat[0] = jnp.zeros(zcat.shape[1:], zcat.dtype)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    for j, src in enumerate((xprev, xmid, xnext)):
-        if has_affine:
-            xn[j, gp : gp + ps, :] = _masked_affine_plane(
-                src[0, 0], ab_ref[0], mask, t + j - 1, g
-            )
-        else:
-            xn[j, gp : gp + ps, :] = src[0, 0]
+    norm = _norm_plane(xnext[0, 0], ab_ref[0] if has_affine else None,
+                       mask, t + 1, g, has_affine)
+    _build_slab(zcat, 0, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
     # dconv is exactly zero on every pad row/plane (forward mask + ReLU
-    # cotangent), so full-plane contractions are exact, and the t=0 /
-    # t=Xp-1 border planes contribute nothing.
-    for ko in range(kout):
-        for tap in range(27):
-            dx, rem = divmod(tap, 9)
-            dy, dz = divmod(rem, 3)
-            s = gp + (dy - 1) * g.Zp + (dz - 1)
-            contrib = jax.lax.dot_general(
-                xn[dx, s : s + ps, :],
-                dconv_ref[ko, 0],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-            @pl.when(t == 0)
-            def _(ko=ko, tap=tap, contrib=contrib):
-                dw_ref[0, ko, tap] = contrib
-
-            @pl.when(t != 0)
-            def _(ko=ko, tap=tap, contrib=contrib):
-                dw_ref[0, ko, tap] += contrib
+    # cotangent), so full-plane contractions are exact; t == 0 (and the
+    # final border plane) contribute nothing.
+    @pl.when(t != 0)
+    def _():
+        for ko in range(kout):
+            dplane = dconv_ref[ko, 0]
+            for dx in range(3):
+                si = jax.lax.rem(t + 2 + dx, 3)
+                for dy in range(3):
+                    s = sg + (dy - 1) * g.Zp
+                    contrib = jax.lax.dot_general(
+                        zcat[0, si, s : s + ps, :],
+                        dplane,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dw_ref[0, ko, dx, dy] += contrib
 
 
 def conv_wgrad_shards(
@@ -535,19 +581,11 @@ def conv_wgrad_shards(
     in_specs = [
         pl.BlockSpec(
             (1, 1, ps, cs),
-            lambda ki, t: (ki, jnp.maximum(t - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, ps, cs), lambda ki, t: (ki, t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, 1, ps, cs),
             lambda ki, t: (ki, jnp.minimum(t + 1, last), 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    operands = [x, x, x]
+    operands = [x]
     if ab is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -565,23 +603,26 @@ def conv_wgrad_shards(
     ]
     operands += [dconv, jnp.asarray(g.interior_mask_rows())]
 
-    dw = pl.pallas_call(
+    sg = g.Zp
+    dwz = pl.pallas_call(
         kern,
         grid=(kin, g.Xp),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, kout, 27, cs, cso),
-            lambda ki, t: (ki, 0, 0, 0, 0),
+            (1, kout, 3, 3, 3 * cs, cso),
+            lambda ki, t: (ki, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((kin, kout, 27, cs, cso), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3, ps + 2 * g.vguard, cs), x.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+        out_shape=jax.ShapeDtypeStruct(
+            (kin, kout, 3, 3, 3 * cs, cso), jnp.float32
         ),
+        scratch_shapes=[pltpu.VMEM((1, 3, ps + 2 * sg, 3 * cs), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
-    return dw
+    return dwz.reshape(kin, kout, 3, 3, 3, cs, cso).reshape(
+        kin, kout, 27, cs, cso
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -589,35 +630,47 @@ def conv_wgrad_shards(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_conv_block(x1, x2, ab, ws, bias, g, n_inputs, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
+                     interpret=False):
     """relu(conv3x3x3(mask*(a*x + b), W) + bias) with GN stat sums, fused.
 
-    x1/x2: (Kin_i, Xp, plane, cs) padded shard buffers (x2 is a
-    (1, 2, 16, 8) dummy when n_inputs == 1); ab: (Kin_total, 2, cs)
-    per-channel affine (the previous GroupNorm, applied lazily under the
-    interior mask); ws: tuple of per-input (Kin_i, Kout, 27, cs, cso)
-    weight shards; bias: (Cout,).  Returns
-    (y (Kout, Xp, plane, cso), sums (Kout, 2, cso) f32) where sums hold
-    per-channel sum / sum-of-squares of y over the interior volume."""
-    x = jnp.concatenate([x1, x2], axis=0) if n_inputs == 2 else x1
-    w = jnp.concatenate(list(ws), axis=0) if n_inputs == 2 else ws[0]
-    y, sums = conv_shards(
-        x, ab, w, bias, g=g, relu=True, stats=True, interpret=interpret
-    )
+    x_i: (Kin_i, Xp, plane, cs_i) padded shard buffers; ab_i:
+    (Kin_i, 2, cs_i) per-channel affine (the previous GroupNorm, applied
+    lazily under the interior mask); w_i: (Kin_i, Kout, 27, cs_i, cso)
+    weight shards; bias: (Cout,).  With ``n_inputs == 2`` the channel
+    concat conv(concat(x1, x2)) is computed as two chained kernel calls
+    (branch 1 produces a pre-activation ``partial``); x2/ab2/w2 are
+    ignored dummies otherwise.  Returns (y (Kout, Xp, plane, cso),
+    sums (Kout, 2, cso) f32) where sums hold per-channel sum /
+    sum-of-squares of y over the padded volume (== interior: padding is
+    exactly zero)."""
+    y, sums = _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
+                         interpret)[0]
     return y, sums
 
 
-def _fused_fwd(x1, x2, ab, ws, bias, g, n_inputs, interpret):
-    y, sums = fused_conv_block(x1, x2, ab, ws, bias, g, n_inputs, interpret)
-    return (y, sums), (x1, x2, ab, ws, y)
+def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret):
+    if n_inputs == 2:
+        p, _ = conv_shards(
+            x1, ab1, w1, None, g=g, relu=False, stats=False,
+            interpret=interpret,
+        )
+        y, sums = conv_shards(
+            x2, ab2, w2, bias, g=g, relu=True, stats=True, partial=p,
+            interpret=interpret,
+        )
+    else:
+        y, sums = conv_shards(
+            x1, ab1, w1, bias, g=g, relu=True, stats=True,
+            interpret=interpret,
+        )
+    return (y, sums), (x1, x2, ab1, ab2, w1, w2, y)
 
 
-def _fused_bwd(g, n_inputs, interpret, res, cts):
-    x1, x2, ab, ws, y = res
+def _fused_bwd(n_inputs, g, interpret, res, cts):
+    x1, x2, ab1, ab2, w1, w2, y = res
     dy, dsums = cts
-    xs = [x1, x2][:n_inputs]
-    kins = [int(v.shape[0]) for v in xs]
 
     # cotangent through ReLU + the stat sums (one fused elementwise pass):
     #   dconv = 1[y > 0] * (dy + dsum0 + 2 y dsum1)
@@ -630,49 +683,42 @@ def _fused_bwd(g, n_inputs, interpret, res, cts):
         yf > 0, dy.astype(jnp.float32) + ds0 + 2.0 * yf * ds1, 0.0
     ).astype(y.dtype)
 
-    dbias = jnp.sum(dconv.astype(jnp.float32), axis=(1, 2))  # (Kout, cso)
-    dbias = dbias.reshape(-1)
+    dbias = jnp.sum(dconv.astype(jnp.float32), axis=(1, 2)).reshape(-1)
 
-    x_cat = jnp.concatenate(xs, axis=0) if n_inputs == 2 else x1
-    dw_cat = conv_wgrad_shards(x_cat, ab, dconv, g=g, interpret=interpret)
-
-    # transposed conv for dxn (plain: no affine / relu / stats)
-    w_cat = jnp.concatenate(list(ws), axis=0) if n_inputs == 2 else ws[0]
-    wt = mirror_transpose_shards(w_cat)
-    dxn, _ = conv_shards(
-        dconv,
-        None,
-        wt,
-        None,
-        g=g,
-        relu=False,
-        stats=False,
-        out_dtype=y.dtype,
-        interpret=interpret,
-    )  # (Kin_total, Xp, ps, cs)
-
-    # d(affine) + dx: only interior rows count for the reductions — dxn
-    # rows in the pad ring carry real-but-discarded gradients.
     mask = jnp.asarray(_interior_mask_3d(g))  # (1, Xp, ps, 1)
-    a = ab[:, 0:1, :][:, None, :, :]  # (Kin, 1, 1, cs)
-    dx_cat = (dxn.astype(jnp.float32) * a).astype(x1.dtype)
-    dxn_m = dxn.astype(jnp.float32) * mask
-    da = jnp.sum(x_cat.astype(jnp.float32) * dxn_m, axis=(1, 2))  # (Kin, cs)
-    db = jnp.sum(dxn_m, axis=(1, 2))
-    dab = jnp.stack([da, db], axis=1).astype(ab.dtype)
 
-    k0 = 0
-    dws, dx_list = [], []
-    for kin in kins:
-        dws.append(dw_cat[k0 : k0 + kin].astype(ws[0].dtype))
-        dx_list.append(dx_cat[k0 : k0 + kin])
-        k0 += kin
-    dx1 = dx_list[0]
-    dx2 = dx_list[1] if n_inputs == 2 else jnp.zeros_like(x2)
-    return dx1, dx2, dab, tuple(dws), dbias.astype(jnp.float32)
+    def branch_grads(xb, abb, wb):
+        dwb = conv_wgrad_shards(xb, abb, dconv, g=g, interpret=interpret)
+        wt = mirror_transpose_shards(wb)
+        dxn, _ = conv_shards(
+            dconv, None, wt, None, g=g, relu=False, stats=False,
+            out_dtype=y.dtype, interpret=interpret,
+        )  # (Kin_b, Xp, ps, cs_b)
+        # d(affine) + dx: only interior rows count for the reductions —
+        # dxn rows in the pad ring carry real-but-discarded gradients.
+        a = abb[:, 0:1, :][:, None, :, :]  # (Kin_b, 1, 1, cs_b)
+        dxb = (dxn.astype(jnp.float32) * a).astype(xb.dtype)
+        dxn_m = dxn.astype(jnp.float32) * mask
+        da = jnp.sum(xb.astype(jnp.float32) * dxn_m, axis=(1, 2))
+        db = jnp.sum(dxn_m, axis=(1, 2))
+        dab = jnp.stack([da, db], axis=1).astype(abb.dtype)
+        return dxb, dab, dwb.astype(wb.dtype)
+
+    dx1, dab1, dw1 = branch_grads(x1, ab1, w1)
+    if n_inputs == 2:
+        dx2, dab2, dw2 = branch_grads(x2, ab2, w2)
+    else:
+        dx2 = jnp.zeros_like(x2)
+        dab2 = jnp.zeros_like(ab2)
+        dw2 = jnp.zeros_like(w2)
+    return dx1, dx2, dab1, dab2, dw1, dw2, dbias.astype(jnp.float32)
 
 
-fused_conv_block.defvjp(_fused_fwd, _fused_bwd)
+fused_conv_block.defvjp(
+    lambda x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret=False:
+        _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret),
+    _fused_bwd,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -731,3 +777,39 @@ def identity_affine(kin: int, cs: int) -> jnp.ndarray:
         ),
         (kin, 2, cs),
     )
+
+
+# ---------------------------------------------------------------------------
+# glue between fused blocks and the XLA-handled ops (pool, resize, head)
+# ---------------------------------------------------------------------------
+
+
+def affine_to_channels(aff: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, 2, cs) shard affine -> ((C,) scale, (C,) shift)."""
+    k, _, cs = aff.shape
+    return aff[:, 0, :].reshape(k * cs), aff[:, 1, :].reshape(k * cs)
+
+
+def affine_from_channels(a: jnp.ndarray, b: jnp.ndarray, cs: int) -> jnp.ndarray:
+    """((C,), (C,)) -> (K, 2, cs) shard affine."""
+    c = a.shape[0]
+    k = c // cs
+    return jnp.stack([a.reshape(k, cs), b.reshape(k, cs)], axis=1)
+
+
+def stat_sums_5d(y5: jnp.ndarray, cs: int) -> jnp.ndarray:
+    """Per-channel (sum, sum-of-squares) of a (1, X, Y, Z, C) volume as the
+    kernel's (K, 2, cs) f32 layout (for blocks computed outside Pallas,
+    e.g. the tiny in_channels->mid first conv)."""
+    yf = y5.astype(jnp.float32)
+    s0 = jnp.sum(yf, axis=(0, 1, 2, 3))
+    s1 = jnp.sum(yf * yf, axis=(0, 1, 2, 3))
+    return affine_from_channels(s0, s1, cs)
+
+
+def apply_affine_5d(x5: jnp.ndarray, aff: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Materialize a pending lazy-GN affine on an interior (1,X,Y,Z,C) view."""
+    if aff is None:
+        return x5
+    a, b = affine_to_channels(aff)
+    return (x5.astype(jnp.float32) * a + b).astype(x5.dtype)

@@ -215,6 +215,18 @@ def test_unet_pallas_path_matches_xla(num_conv):
     mx = UNet3D(**mk)
     mp = UNet3D(**mk, pallas_blocks=True)
     params = mx.init(jax.random.key(0), x, train=True)["params"]
+    # perturb all params off zero: with zero-init conv biases, empty volume
+    # regions give pre-ReLU activations of EXACTLY 0, where jnp.maximum's
+    # JVP (XLA path) splits the subgradient 0.5/0.5 while the fused kernels
+    # use 1[y > 0] — torch's ReLU convention.  The tie is measure-zero in
+    # real training; the comparison needs params away from it.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+         for v, k in zip(leaves, keys)],
+    )
 
     yx = mx.apply({"params": params}, x, train=True)
     yp = mp.apply({"params": params}, x, train=True)
@@ -237,5 +249,48 @@ def test_unet_pallas_path_matches_xla(num_conv):
         scale = max(1.0, float(jnp.max(jnp.abs(v))))
         np.testing.assert_allclose(np.asarray(got) / scale,
                                    np.asarray(v) / scale,
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
+def test_pallas_train_step_matches_xla():
+    """make_train_step on a pallas model (padded row-major logits + padded
+    labels) reproduces the XLA model's loss, confusion counts, and updated
+    params — pins the whole 2-D loss/metric layout path."""
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import TrainState, make_train_step
+
+    r = np.random.default_rng(3)
+    x = jnp.asarray((r.random((1, 9, 8, 10, 1)) < 0.15).astype(np.float32))
+    labels = jnp.asarray(
+        np.where(r.random((1, 9, 8, 10)) < 0.1,
+                 r.integers(0, 5, (1, 9, 8, 10)), -1).astype(np.int32))
+    mk = dict(in_channels=1, out_channels=5, init_channel_number=8,
+              compute_dtype=jnp.float32)
+    mx = UNet3D(**mk)
+    mp = UNet3D(**mk, pallas_blocks=True)
+    params = mx.init(jax.random.key(0), x, train=True)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+         for v, k in zip(leaves, keys)],
+    )
+
+    outs = {}
+    for name, m in (("xla", mx), ("pal", mp)):
+        state = TrainState.create(params, lr=0.05)
+        step = make_train_step(make_apply_fn(m), num_classes=5, donate=False)
+        state, loss, counts = step(state, x, labels)
+        outs[name] = (float(loss), np.asarray(counts), state.trainable)
+
+    assert abs(outs["xla"][0] - outs["pal"][0]) < 1e-5
+    np.testing.assert_array_equal(outs["xla"][1], outs["pal"][1])
+    for k, v in jax.tree_util.tree_leaves_with_path(outs["xla"][2]):
+        got = {jax.tree_util.keystr(kk): vv for kk, vv in
+               jax.tree_util.tree_leaves_with_path(outs["pal"][2])}[
+            jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=jax.tree_util.keystr(k))

@@ -140,7 +140,10 @@ class SplitConv3(nn.Module):
     def __call__(self, x):
         pair = isinstance(x, (tuple, list))
         pallas = isinstance(x[0] if pair else x, PallasVol)
-        if pallas:
+        dense_entry = isinstance(x, cp.DenseEntry)
+        if dense_entry:
+            cin = x.x5.shape[-1]
+        elif pallas:
             cin = sum(v.channels for v in (x if pair else [x]))
         else:
             cin = x[0].shape[-1] + x[1].shape[-1] if pair else x.shape[-1]
@@ -153,6 +156,10 @@ class SplitConv3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
+        if dense_entry:
+            return cp.conv3d_dense_entry(
+                x.x5, kernel, bias, self.compute_dtype
+            )
         if pallas:
             return self._pallas_call(x if pair else [x], kernel, bias)
         precision = (
@@ -241,15 +248,25 @@ class DoubleConv(nn.Module):
         ReLU and enters the pipeline here.  Either way GroupNorm becomes
         the lazy affine carried by the returned PallasVol."""
         if isinstance(x, jnp.ndarray):
-            y = SplitConv3(
-                features=out_channels,
-                compute_dtype=self.compute_dtype,
-                name=f"conv{pos}",
-            )(x)
-            y = nn.relu(y)
-            sums = cp.stat_sums_5d(y, cp.shard_width(out_channels))
-            vol = _wrap_pallas(y, None)
-            y_buf, g = vol.buf, vol.g
+            if x.shape[-1] <= 8:
+                # dense 27*cin-contraction entry conv: the XLA channels-last
+                # conv at this width drags ~20 ms/step of bad-layout
+                # relu/stat/wgrad fusions into the otherwise row-major graph
+                y_buf, sums, g = SplitConv3(
+                    features=out_channels,
+                    compute_dtype=self.compute_dtype,
+                    name=f"conv{pos}",
+                )(cp.DenseEntry(x))
+            else:
+                y = SplitConv3(
+                    features=out_channels,
+                    compute_dtype=self.compute_dtype,
+                    name=f"conv{pos}",
+                )(x)
+                y = nn.relu(y)
+                sums = cp.stat_sums_5d(y, cp.shard_width(out_channels))
+                vol = _wrap_pallas(y, None)
+                y_buf, g = vol.buf, vol.g
         else:
             y_buf, sums, g = SplitConv3(
                 features=out_channels,
@@ -335,8 +352,16 @@ class Encoder(nn.Module):
             if isinstance(x, PallasVol):
                 # pending GN affine does NOT commute with max: materialize
                 # it on the interior view, pool with torch's -inf-pad
-                # semantics, re-enter the pipeline affine-free
-                x = _wrap_pallas(max_pool_3d(x.interior()), None)
+                # semantics, re-enter the pipeline affine-free.  The
+                # first-match custom-VJP pool (window-view reshape) wins
+                # here: the buffer layout is already row-major, and its
+                # backward is a fused elementwise mask instead of XLA's
+                # select-and-scatter (~3.5 ms/step at 96^3 x 64).
+                from unetsulc_tpu.ops.pooling import (
+                    max_pool_3d as max_pool_firstmatch,
+                )
+
+                x = _wrap_pallas(max_pool_firstmatch(x.interior()), None)
             else:
                 x = max_pool_3d(x)
         return DoubleConv(
@@ -397,6 +422,43 @@ class Decoder(nn.Module):
         )((encoder_features, x.astype(encoder_features.dtype)))
 
 
+class Lane1x1(nn.Module):
+    """A 1x1x1 conv as an explicit lane matmul on (rows..., C) tensors.
+
+    Param names/shapes identical to ``nn.Conv`` ((1,1,1,Cin,Cout) kernel +
+    bias) so the ``.mdsm`` interop mapping is untouched; used by the
+    padded-row head where nn.Conv's pseudo-5D form made XLA pick (1,128)
+    tilings costing ~44 ms/step in the surrounding CE/grad fusions."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.compute_dtype == jnp.float32
+            else None
+        )
+        out = jax.lax.dot_general(
+            x.astype(self.compute_dtype),
+            kernel.reshape(cin, self.features).astype(self.compute_dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            precision=precision,
+        )
+        return out + bias.astype(out.dtype)
+
+
 class FinalConvHead(nn.Module):
     """1x1x1 classification head; ``num_conv > 1`` chains convs whose channel
     counts interpolate linearly from ``init_channels`` down to
@@ -406,6 +468,11 @@ class FinalConvHead(nn.Module):
     out_channels: int
     num_conv: int = 1
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # emit (Xp, plane, C) padded row-major logits instead of unpadding to
+    # (1, X, Y, Z, C): keeps the whole loss/metric graph in the pipeline's
+    # layout (the unpadded 5-D form makes XLA pick tiled layouts that cost
+    # ~85 ms/step in argmax/CE fusions at 96^3 x 63)
+    padded: bool = False
 
     @staticmethod
     def channel_schedule(init_channels: int, out_channels: int, num_conv: int):
@@ -416,38 +483,57 @@ class FinalConvHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        padded_out = False
         if isinstance(x, PallasVol):
-            # leave the pipeline: materialize the last block's GN affine on
-            # the interior view; the 1x1x1 chain is a plain lane matmul
-            x = x.interior()
+            if self.padded:
+                # stay in the row layout: apply the pending GN affine on the
+                # shard buffer; the chain below runs as (Xp, plane, C) lane
+                # matmuls so every downstream loss/metric op stays row-major
+                k, xp, ps, cs = x.buf.shape
+                xb = x.buf.astype(jnp.float32)
+                if x.aff is not None:
+                    xb = xb * x.aff[:, 0, :][:, None, None, :] + x.aff[
+                        :, 1, :
+                    ][:, None, None, :]
+                x = (
+                    xb.transpose(1, 2, 0, 3)
+                    .reshape(xp, ps, k * cs)
+                    .astype(self.compute_dtype)
+                )
+                padded_out = True
+            else:
+                # leave the pipeline: materialize the last block's GN affine
+                # on the interior view; the 1x1x1 chain is a lane matmul
+                x = x.interior()
         precision = (
             jax.lax.Precision.HIGHEST
             if self.compute_dtype == jnp.float32
             else None
         )
-        if self.num_conv <= 1:
+
+        def conv1x1(features, name):
+            if padded_out:
+                return Lane1x1(
+                    features, compute_dtype=self.compute_dtype, name=name
+                )
             return nn.Conv(
-                self.out_channels,
+                features,
                 (1, 1, 1),
                 use_bias=True,
                 dtype=self.compute_dtype,
                 param_dtype=jnp.float32,
                 precision=precision,
-                name="conv",
-            )(x)
-        chans = self.channel_schedule(
-            self.init_channels, self.out_channels, self.num_conv
-        )
-        for n in range(self.num_conv):
-            x = nn.Conv(
-                chans[n + 1],
-                (1, 1, 1),
-                use_bias=True,
-                dtype=self.compute_dtype,
-                param_dtype=jnp.float32,
-                precision=precision,
-                name=str(n),
-            )(x)
+                name=name,
+            )
+
+        if self.num_conv <= 1:
+            x = conv1x1(self.out_channels, "conv")(x)
+        else:
+            chans = self.channel_schedule(
+                self.init_channels, self.out_channels, self.num_conv
+            )
+            for n in range(self.num_conv):
+                x = conv1x1(chans[n + 1], str(n))(x)
         return x
 
 
@@ -506,6 +592,7 @@ class UNet3D(nn.Module):
         x: jnp.ndarray,
         train: bool = True,
         apply_final_activation: Optional[bool] = None,
+        padded_output: bool = False,
     ) -> jnp.ndarray:
         i = self.init_channel_number
         enc_chans = [
@@ -555,6 +642,7 @@ class UNet3D(nn.Module):
             out_channels=self.out_channels,
             num_conv=self.num_conv,
             compute_dtype=self.compute_dtype,
+            padded=pallas and padded_output,
             name="final_conv",
         )(x)
         x = x.astype(jnp.float32)
@@ -606,13 +694,15 @@ def make_apply_fn(model: UNet3D):
     train-mode-at-eval bug."""
 
     def apply_fn(
-        params, inputs, train=True, apply_final_activation=None, rngs=None
+        params, inputs, train=True, apply_final_activation=None, rngs=None,
+        padded_output=False,
     ):
         return model.apply(
             {"params": params},
             inputs,
             train=train,
             apply_final_activation=apply_final_activation,
+            padded_output=padded_output,
             rngs=rngs,
         )
 

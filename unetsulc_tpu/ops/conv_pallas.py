@@ -784,6 +784,65 @@ def identity_affine(kin: int, cs: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+class DenseEntry:
+    """Marker wrapping a plain (1, X, Y, Z, cin) volume: compute its conv as
+    one dense (27*cin)-contraction matmul in the padded row layout (the
+    pipeline's entry conv — cin is tiny, so per-shard kernels would
+    underfeed the MXU and XLA's channels-last layout choices are poor)."""
+
+    def __init__(self, x5: jnp.ndarray):
+        self.x5 = x5
+
+
+def conv3d_dense_entry(
+    x5: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Geom]:
+    """relu(conv3x3x3(x5, kernel) + bias) directly into buffer layout.
+
+    Builds the 27-tap shifted lane stack of the zero-ring-padded volume
+    (one fused pad+slice pass) and contracts (rows, 27*cin) @ (27*cin,
+    cout) on the MXU.  Returns (buf (1, Xp, plane, cout), stat sums
+    (K, 2, cs) f32, geom) — the standard pipeline entry triple."""
+    _, X, Y, Z, cin = x5.shape
+    cout = kernel.shape[-1]
+    g = make_geom(X, Y, Z)
+    buf = pad_to_geom(x5.astype(compute_dtype), g, cs=cin)
+    p = buf[0]  # (Xp, plane, cin), zero ring included
+    roff = g.Zp + 1
+    pp = jnp.pad(p, ((1, 1), (roff, roff), (0, 0)))
+    taps = []
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                r0 = roff + (dy - 1) * g.Zp + (dz - 1)
+                taps.append(
+                    jax.lax.dynamic_slice(
+                        pp, (dx, r0, 0), (g.Xp, g.plane, cin)
+                    )
+                )
+    stack = jnp.concatenate(taps, axis=-1)  # (Xp, plane, 27*cin)
+    w = kernel.reshape(27 * cin, cout).astype(compute_dtype)
+    y = jax.lax.dot_general(
+        stack, w, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    y = jnp.maximum(y, 0.0) * jnp.asarray(
+        _interior_mask_3d(g).reshape(g.Xp, g.plane, 1)
+    )
+    s0 = jnp.sum(y, axis=(0, 1))
+    s1 = jnp.sum(y * y, axis=(0, 1))
+    cs = shard_width(cout)
+    ybuf = (
+        y.astype(compute_dtype)
+        .reshape(g.Xp, g.plane, cout // cs, cs)
+        .transpose(2, 0, 1, 3)
+    )
+    return ybuf, affine_from_channels(s0, s1, cs), g
+
+
 def affine_to_channels(aff: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(K, 2, cs) shard affine -> ((C,) scale, (C,) shift)."""
     k, _, cs = aff.shape

@@ -33,6 +33,33 @@ from unetsulc_tpu.ops.losses import cross_entropy_ignore
 from unetsulc_tpu.train import freeze
 
 
+def _match_labels(logits, labels, background):
+    """Align labels with the model's logits layout.
+
+    The Pallas pipeline emits (Xp, plane, C) padded row-major logits
+    (models/unet3d.py ``padded_output``) so the whole loss/metric graph
+    stays in one layout; labels are zero-ring padded with ``background``
+    to the same rows (padding therefore drops out of the masked CE and of
+    the confusion counts).  5-D logits pass through untouched."""
+    if logits.ndim != 3:
+        return labels
+    from unetsulc_tpu.ops.conv_pallas import make_geom
+
+    n, x, y, z = labels.shape
+    g = make_geom(x, y, z)
+    assert (g.Xp, g.plane) == logits.shape[:2], (logits.shape, g)
+    lp = jnp.pad(
+        labels[0],
+        (
+            (1, g.Xp - x - 1),
+            (1, g.Yp - y - 1),
+            (1, g.Zp - z - 1),
+        ),
+        constant_values=background,
+    )
+    return lp.reshape(g.Xp, g.plane)
+
+
 class TrainState(struct.PyTreeNode):
     """Functional training state (a pytree; flows through jit/pjit)."""
 
@@ -121,17 +148,26 @@ def make_train_step(
                         jax.random.key(0), state.step
                     )
                 }
-                logits = apply_fn(params, inputs, train=True, rngs=rngs)
+                logits = apply_fn(
+                    params, inputs, train=True, rngs=rngs,
+                    padded_output=True,
+                )
             else:
-                logits = apply_fn(params, inputs, train=True)
-            loss = cross_entropy_ignore(logits, labels, background)
+                logits = apply_fn(params, inputs, train=True,
+                                  padded_output=True)
+            loss = cross_entropy_ignore(
+                logits, _match_labels(logits, labels, background), background
+            )
             return loss, logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable
         )
         preds = jnp.argmax(logits, axis=-1)
-        counts = confusion_counts(labels, preds, num_classes, background)
+        counts = confusion_counts(
+            _match_labels(logits, labels, background), preds, num_classes,
+            background,
+        )
 
         new_buf = jax.tree.map(
             lambda b, g: momentum * b + g, state.momentum_buf, grads
@@ -180,8 +216,10 @@ def make_eval_step(
 
     def step(params, inputs, labels):
         logits = apply_fn(
-            params, inputs, train=False, apply_final_activation=False
+            params, inputs, train=False, apply_final_activation=False,
+            padded_output=True,
         )
+        labels = _match_labels(logits, labels, background)
         preds = jnp.argmax(logits, axis=-1)
         if apply_activation:
             logits = _final_activation(logits, final_sigmoid)
@@ -210,9 +248,16 @@ def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
     @jax.jit
     def label(params, inputs, cx, cy, cz):
         logits = apply_fn(
-            params, inputs, train=False, apply_final_activation=False
-        )[0]
-        picked = logits[cx, cy, cz, :]  # (n_pad, C)
+            params, inputs, train=False, apply_final_activation=False,
+            padded_output=True,
+        )
+        if logits.ndim == 3:  # padded row-major (Pallas pipeline) layout
+            from unetsulc_tpu.ops.conv_pallas import make_geom
+
+            g = make_geom(*inputs.shape[1:4])
+            picked = logits[cx + 1, (cy + 1) * g.Zp + (cz + 1), :]
+        else:
+            picked = logits[0][cx, cy, cz, :]  # (n_pad, C)
         ypred = jnp.argmax(picked, axis=-1)
         yscores = _final_activation(picked, final_sigmoid)
         return ypred, yscores

@@ -56,6 +56,7 @@ def bench_jax() -> float:
         out_channels=OUT_CHANNELS,
         init_channel_number=INIT_CH,
         compute_dtype=jnp.bfloat16,
+        pallas_blocks=True,
     )
     rng = np.random.default_rng(0)
     inputs, labels = _make_batch(rng, BATCH, VOLUME)
@@ -139,6 +140,7 @@ def bench_label_latency() -> float:
         out_channels=OUT_CHANNELS,
         init_channel_number=INIT_CH,
         compute_dtype=jnp.bfloat16,
+        pallas_blocks=True,
     )
     rng = np.random.default_rng(0)
     inputs, _ = _make_batch(rng, 1, VOLUME)

@@ -121,6 +121,10 @@ class TpuConfig:
     shape_buckets: bool = True
     # use Pallas fused GroupNorm kernel where profitable
     pallas_groupnorm: bool = True
+    # run eligible batch-1 volumes through the fused conv+ReLU+GN Pallas
+    # pipeline (models/unet3d.py pallas_blocks); auto-disabled under
+    # spatial sharding / remat and for any ineligible input shape
+    pallas_blocks: bool = True
     # host->device prefetch depth
     prefetch: int = 2
     # reference parity: rebuild optimizer (reset momentum) on lr division

@@ -188,6 +188,14 @@ class SulciLabeller:
                 else jnp.float32
             ),
             remat=self.tpu.remat,
+            # Pallas pipeline: not under spatial pjit sharding (the kernels
+            # are single-device; DP is safe — its global batch > 1 fails
+            # per-input eligibility and falls back), not with remat
+            pallas_blocks=(
+                self.tpu.pallas_blocks
+                and self.tpu.spatial_parallel <= 1
+                and not self.tpu.remat
+            ),
         )
         kw.update(over)
         return UNet3D(**kw)

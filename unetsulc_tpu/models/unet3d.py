@@ -37,6 +37,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from unetsulc_tpu.ops.groupnorm import group_norm
@@ -350,18 +351,14 @@ class Encoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.pool:
             if isinstance(x, PallasVol):
-                # pending GN affine does NOT commute with max: materialize
-                # it on the interior view, pool with torch's -inf-pad
-                # semantics, re-enter the pipeline affine-free.  The
-                # first-match custom-VJP pool (window-view reshape) wins
-                # here: the buffer layout is already row-major, and its
-                # backward is a fused elementwise mask instead of XLA's
-                # select-and-scatter (~3.5 ms/step at 96^3 x 64).
-                from unetsulc_tpu.ops.pooling import (
-                    max_pool_3d as max_pool_firstmatch,
+                # buffer-native pool: consumes the pending GN affine (max
+                # does not commute with it), first-match tie backward
+                # (torch semantics), stays in the row layout throughout
+                x = PallasVol(
+                    cp.max_pool_buf(x.buf, x.aff, x.g),
+                    None,
+                    cp.pool_geom(x.g),
                 )
-
-                x = _wrap_pallas(max_pool_firstmatch(x.interior()), None)
             else:
                 x = max_pool_3d(x)
         return DoubleConv(
@@ -574,6 +571,12 @@ class UNet3D(nn.Module):
         dtype_ok = (
             self.compute_dtype != jnp.float32 or _pallas_interpret()
         )
+        # interpret mode (CPU backend) emulates the kernels op by op —
+        # fine for test-sized volumes, pathological for real ones
+        size_ok = (
+            not _pallas_interpret()
+            or int(np.prod(x.shape[1:4])) <= 4096
+        )
         return bool(
             self.pallas_blocks
             and not self.is_initializing()
@@ -583,6 +586,7 @@ class UNet3D(nn.Module):
             and self.conv_layer_order == "crg"
             and self.interpolate
             and dtype_ok
+            and size_ok
             and min(x.shape[1:4]) >= 4
         )
 

@@ -843,6 +843,59 @@ def conv3d_dense_entry(
     return ybuf, affine_from_channels(s0, s1, cs), g
 
 
+def pool_geom(g: Geom) -> Geom:
+    """Geometry after the torch-padded 2x2x2/stride-2 max pool."""
+    return make_geom(g.X // 2 + 1, g.Y // 2 + 1, g.Z // 2 + 1)
+
+
+def max_pool_buf(buf, aff, g: Geom):
+    """Torch-padded max pool straight on the (K, Xp, plane, cs) buffer.
+
+    Consumes the pending GN affine (max does not commute with it) and
+    returns the pooled buffer in the next level's geometry with an exact
+    zero ring.  The buffer's zero ring plays the role of torch's pad=1:
+    window o covers ring coords (2o, 2o+1) = volume coords (2o-1, 2o);
+    pad positions become -inf so they never win (GN output can be
+    negative).  Uses reduce_window on the row-major 5-D view — its
+    select-and-scatter backward picks the first >= match, torch's tie
+    convention and the same op the XLA path uses.  (A window-view reshape
+    variant with an explicit first-match mask measured ~20 ms/step at
+    96^3: the 7-D (o,2,o,2,o,2,C) pred tensors force (4,128)-tiled
+    relayouts.)"""
+    go = pool_geom(g)
+    k, xp, ps, cs = buf.shape
+    b5 = buf.reshape(k, g.Xp, g.Yp, g.Zp, cs)
+    m = jnp.asarray(
+        _interior_mask_3d(g).reshape(1, g.Xp, g.Yp, g.Zp, 1) > 0
+    )
+    if aff is not None:
+        a = aff[:, 0, :][:, None, None, None, :]
+        b = aff[:, 1, :][:, None, None, None, :]
+        xn = (b5.astype(jnp.float32) * a + b).astype(buf.dtype)
+    else:
+        xn = b5
+    xn = jnp.where(m, xn, jnp.asarray(-jnp.inf, buf.dtype))
+    pooled = jax.lax.reduce_window(
+        xn,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 2, 2, 2, 1),
+        (1, 2, 2, 2, 1),
+        "VALID",
+    )[:, : go.X, : go.Y, : go.Z, :]
+    padded = jnp.pad(
+        pooled,
+        (
+            (0, 0),
+            (1, go.Xp - go.X - 1),
+            (1, go.Yp - go.Y - 1),
+            (1, go.Zp - go.Z - 1),
+            (0, 0),
+        ),
+    )
+    return padded.reshape(k, go.Xp, go.plane, cs)
+
+
 def affine_to_channels(aff: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(K, 2, cs) shard affine -> ((C,) scale, (C,) shift)."""
     k, _, cs = aff.shape

@@ -314,9 +314,52 @@ def _fwd_kernel(
 
     border = (t == 0) | (t == n_t - 1)
 
+    def finalize_ko(ko, total, mask_t):
+        out = total + bias_ref[ko]
+        if has_partial:
+            out = out + part_ref[ko, 0].astype(jnp.float32)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out = out * mask_t
+        y_ref[ko, 0] = out.astype(out_dtype)
+        if stats:
+            of = out.astype(jnp.float32)
+            s0 = jnp.sum(of, axis=0, keepdims=True)
+            s1 = jnp.sum(of * of, axis=0, keepdims=True)
+            new = jnp.concatenate([s0, s1], axis=0)
+
+            @pl.when(t == 1)
+            def _(ko=ko, new=new):
+                stat_acc[ko] = new
+
+            @pl.when(t != 1)
+            def _(ko=ko, new=new):
+                stat_acc[ko] += new
+
     @pl.when(jnp.logical_not(border))
     def _():
+        # mask covers y/z pad rows; the plane factor zeroes back-pad
+        # planes (X < t < Xp-1) that the grid still computes
+        mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
         for ko in range(kout):
+            if kin == 1:
+                # single in-shard: accumulate the 9 tap-column dots as
+                # values (compiler-managed temporaries / MXU accumulation)
+                # and finalize inline — no accumulator scratch round-trips
+                total = None
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    for dy in range(3):
+                        s = sg + (dy - 1) * g.Zp
+                        contrib = jax.lax.dot_general(
+                            zcat[ki, si, s : s + ps, :],
+                            wz_ref[0, ko, dx, dy],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        total = contrib if total is None else total + contrib
+                finalize_ko(ko, total, mask_t)
+                continue
             first = True
             for dx in range(3):
                 si = jax.lax.rem(t + 2 + dx, 3)  # slab of plane t-1+dx
@@ -341,32 +384,12 @@ def _fwd_kernel(
                     else:
                         acc[ko] += contrib
 
-        @pl.when(ki == n_ki - 1)
-        def _():
-            # mask covers y/z pad rows; the plane factor zeroes back-pad
-            # planes (X < t < Xp-1) that the grid still computes
-            mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
-            for ko in range(kout):
-                out = acc[ko] + bias_ref[ko]
-                if has_partial:
-                    out = out + part_ref[ko, 0].astype(jnp.float32)
-                if relu:
-                    out = jnp.maximum(out, 0.0)
-                out = out * mask_t
-                y_ref[ko, 0] = out.astype(out_dtype)
-                if stats:
-                    of = out.astype(jnp.float32)
-                    s0 = jnp.sum(of, axis=0, keepdims=True)
-                    s1 = jnp.sum(of * of, axis=0, keepdims=True)
-                    new = jnp.concatenate([s0, s1], axis=0)
-
-                    @pl.when(t == 1)
-                    def _(ko=ko, new=new):
-                        stat_acc[ko] = new
-
-                    @pl.when(t != 1)
-                    def _(ko=ko, new=new):
-                        stat_acc[ko] += new
+        if kin > 1:
+            @pl.when(ki == n_ki - 1)
+            def _():
+                mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
+                for ko in range(kout):
+                    finalize_ko(ko, acc[ko], mask_t)
 
     @pl.when(border & (ki == n_ki - 1))
     def _():  # outermost pad planes are written as exact zeros
@@ -488,7 +511,10 @@ def conv_shards(
         ),
         scratch_shapes=[
             pltpu.VMEM((kin, 3, ps + 2 * sg, 3 * cs), x.dtype),
-            pltpu.VMEM((kout, ps, cso), jnp.float32),
+            # kin == 1 accumulates dots as values; no acc scratch needed
+            pltpu.VMEM(
+                (kout, ps, cso) if kin > 1 else (1, 8, 128), jnp.float32
+            ),
             pltpu.VMEM((kout, 2, cso), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

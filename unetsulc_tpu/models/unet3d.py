@@ -355,7 +355,7 @@ class Encoder(nn.Module):
                 # does not commute with it), first-match tie backward
                 # (torch semantics), stays in the row layout throughout
                 x = PallasVol(
-                    cp.max_pool_buf(x.buf, x.aff, x.g),
+                    cp.max_pool_buf(x.buf, x.aff, x.g, _pallas_interpret()),
                     None,
                     cp.pool_geom(x.g),
                 )

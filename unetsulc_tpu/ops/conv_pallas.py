@@ -874,20 +874,16 @@ def pool_geom(g: Geom) -> Geom:
     return make_geom(g.X // 2 + 1, g.Y // 2 + 1, g.Z // 2 + 1)
 
 
-def max_pool_buf(buf, aff, g: Geom):
-    """Torch-padded max pool straight on the (K, Xp, plane, cs) buffer.
+def max_pool_buf_xla(buf, aff, g: Geom):
+    """Torch-padded max pool on the buffer via XLA reduce_window.
 
-    Consumes the pending GN affine (max does not commute with it) and
-    returns the pooled buffer in the next level's geometry with an exact
-    zero ring.  The buffer's zero ring plays the role of torch's pad=1:
-    window o covers ring coords (2o, 2o+1) = volume coords (2o-1, 2o);
-    pad positions become -inf so they never win (GN output can be
-    negative).  Uses reduce_window on the row-major 5-D view — its
+    Semantics oracle for (and fallback of) the Pallas pool below; its
     select-and-scatter backward picks the first >= match, torch's tie
-    convention and the same op the XLA path uses.  (A window-view reshape
-    variant with an explicit first-match mask measured ~20 ms/step at
-    96^3: the 7-D (o,2,o,2,o,2,C) pred tensors force (4,128)-tiled
-    relayouts.)"""
+    convention.  (A window-view reshape variant with an explicit
+    first-match mask measured ~20 ms/step at 96^3: the 7-D
+    (o,2,o,2,o,2,C) pred tensors force (4,128)-tiled relayouts; this
+    reduce_window form costs ~11 ms at 96^3 because XLA relayouts the
+    5-D view to its select-and-scatter layout — hence the kernels.)"""
     go = pool_geom(g)
     k, xp, ps, cs = buf.shape
     b5 = buf.reshape(k, g.Xp, g.Yp, g.Zp, cs)
@@ -920,6 +916,289 @@ def max_pool_buf(buf, aff, g: Geom):
         ),
     )
     return padded.reshape(k, go.Xp, go.plane, cs)
+
+
+def _pool_norm_plane(xp, ab, mask, p, g: Geom, has_affine: bool):
+    """Normalized plane with -inf at every pad position (ring plane, pad
+    rows), cast to the storage dtype exactly like the forward max sees it."""
+    neg = jnp.asarray(-jnp.inf, xp.dtype)
+    ok = (mask > 0) & ((p >= 1) & (p <= g.X))
+    if has_affine:
+        a = ab[0:1, :]
+        b = ab[1:2, :]
+        v = (xp.astype(jnp.float32) * a + b).astype(xp.dtype)
+    else:
+        v = xp
+    return jnp.where(ok, v, neg)
+
+
+def _pool_fwd_kernel(*refs, g: Geom, go: Geom, has_affine: bool):
+    i = 0
+    xpair = refs[i]  # (1, 2, plane, cs) block: input planes 2o-2, 2o-1
+    i += 1
+    ab_ref = None
+    if has_affine:
+        ab_ref = refs[i]
+        i += 1
+    mask_ref = refs[i]
+    y_ref = refs[i + 1]  # (1, 1, plane2, cs) block
+
+    ki = pl.program_id(0)
+    o = pl.program_id(1)
+    cs = xpair.shape[-1]
+    mask = mask_ref[...]
+
+    @pl.when((o >= 1) & (o <= go.X))
+    def _():
+        ab = ab_ref[0] if has_affine else None
+        v0 = _pool_norm_plane(xpair[0, 0], ab, mask, 2 * o - 2, g, has_affine)
+        v1 = _pool_norm_plane(xpair[0, 1], ab, mask, 2 * o - 1, g, has_affine)
+        m = jnp.maximum(v0, v1)  # (plane, cs)
+        mz = jnp.max(m.reshape(g.plane // 2, 2, cs), axis=1)
+        my = jnp.max(
+            mz.reshape(g.Yp // 2, 2, g.Zp // 2, cs), axis=1
+        )  # (Yp/2, Zp/2, cs)
+        out = my[: go.Y, : go.Z, :]
+        out = jnp.pad(
+            out,
+            (
+                (1, go.Yp - go.Y - 1),
+                (1, go.Zp - go.Z - 1),
+                (0, 0),
+            ),
+        )
+        y_ref[0, 0] = out.reshape(go.plane, cs)
+
+    @pl.when((o < 1) | (o > go.X))
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+
+def _pool_bwd_kernel(*refs, g: Geom, go: Geom, has_affine: bool):
+    i = 0
+    xpair = refs[i]  # (1, 2, plane, cs) block: input planes 2q, 2q+1
+    i += 1
+    ab_ref = None
+    if has_affine:
+        ab_ref = refs[i]
+        i += 1
+    yo_ref = refs[i]  # pooled plane q+1 (clamped)
+    do_ref = refs[i + 1]  # its cotangent
+    mask_ref = refs[i + 2]
+    i += 3
+    dx_ref = refs[i]  # (1, 2, plane, cs) block: cotangents of both planes
+    dab_ref = refs[i + 1]  # (1, 2, cs)
+    i += 2
+    dab_acc = refs[i]  # (2, cs) f32 scratch
+
+    ki = pl.program_id(0)
+    q = pl.program_id(1)
+    n_q = pl.num_programs(1)
+    cs = xpair.shape[-1]
+    mask = mask_ref[...]
+
+    @pl.when(q == 0)
+    def _():
+        dab_acc[...] = jnp.zeros(dab_acc.shape, dab_acc.dtype)
+
+    @pl.when(q + 1 <= go.X)
+    def _():
+        ab = ab_ref[0] if has_affine else None
+        v0 = _pool_norm_plane(xpair[0, 0], ab, mask, 2 * q, g, has_affine)
+        v1 = _pool_norm_plane(xpair[0, 1], ab, mask, 2 * q + 1, g, has_affine)
+        yh, zh = g.Yp // 2, g.Zp // 2
+
+        # pooled values / cotangent back at (Yp/2, Zp/2) granularity;
+        # rows beyond the output interior never matched (dout zero there)
+        yo5 = yo_ref[0, 0].reshape(go.Yp, go.Zp, cs)
+        do5 = do_ref[0, 0].reshape(go.Yp, go.Zp, cs)
+        # compare in f32: Mosaic has no bf16 vector compare; the cast is
+        # exact so first-match semantics are unchanged
+        ov = jnp.pad(
+            yo5[1 : 1 + go.Y, 1 : 1 + go.Z, :].astype(jnp.float32),
+            ((0, yh - go.Y), (0, zh - go.Z), (0, 0)),
+        )
+        dv = jnp.pad(
+            do5[1 : 1 + go.Y, 1 : 1 + go.Z, :].astype(jnp.float32),
+            ((0, yh - go.Y), (0, zh - go.Z), (0, 0)),
+        )
+
+        w0 = v0.reshape(yh, 2, zh, 2, cs)
+        w1 = v1.reshape(yh, 2, zh, 2, cs)
+        # torch first-match: window positions in (x, y, z) lexicographic
+        # order; the first position equal to the max takes the gradient
+        taken = None
+        dparts = []
+        for w in (w0, w1):
+            sel = []
+            for ys in (0, 1):
+                for zs in (0, 1):
+                    eq = w[:, ys, :, zs, :].astype(jnp.float32) == ov
+                    hit = eq if taken is None else (eq & ~taken)
+                    taken = eq if taken is None else (taken | eq)
+                    sel.append(jnp.where(hit, dv, 0.0))
+            dparts.append(
+                jnp.stack(
+                    [
+                        jnp.stack([sel[0], sel[1]], axis=2),
+                        jnp.stack([sel[2], sel[3]], axis=2),
+                    ],
+                    axis=1,
+                ).reshape(g.plane, cs)
+            )
+        d0, d1 = dparts  # f32, zero wherever no first-match
+
+        if has_affine:
+            a = ab[0:1, :]
+            dx_ref[0, 0] = (d0 * a).astype(dx_ref.dtype)
+            dx_ref[0, 1] = (d1 * a).astype(dx_ref.dtype)
+            da = jnp.sum(
+                xpair[0, 0].astype(jnp.float32) * d0
+                + xpair[0, 1].astype(jnp.float32) * d1,
+                axis=0, keepdims=True,
+            )
+            db = jnp.sum(d0 + d1, axis=0, keepdims=True)
+            dab_acc[...] += jnp.concatenate([da, db], axis=0)
+        else:
+            dx_ref[0, 0] = d0.astype(dx_ref.dtype)
+            dx_ref[0, 1] = d1.astype(dx_ref.dtype)
+
+    @pl.when(q + 1 > go.X)
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(q == n_q - 1)
+    def _():
+        dab_ref[0] = dab_acc[...]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def max_pool_buf(buf, aff, g: Geom, interpret: bool = False):
+    """Torch-padded 2x2x2/stride-2 max pool on the (K, Xp, plane, cs)
+    buffer, as a Pallas kernel pair that never leaves the row layout.
+
+    Consumes the pending GN affine (max does not commute with it); the
+    buffer's zero ring plays the role of torch's pad=1 (window o covers
+    ring coords (2o, 2o+1)); pad positions compare as -inf.  Backward is
+    an explicit first-match (torch tie convention) with exact d(affine).
+    The XLA reduce_window form (max_pool_buf_xla, the semantics oracle in
+    tests) costs ~11 ms/step at 96^3 in select-and-scatter + relayouts."""
+    go = pool_geom(g)
+    k, xp, ps, cs = buf.shape
+    kern = functools.partial(
+        _pool_fwd_kernel, g=g, go=go, has_affine=aff is not None
+    )
+    n_q = g.Xp // 2
+    in_specs = [
+        pl.BlockSpec(
+            (1, 2, ps, cs),
+            lambda ki, o: (ki, jnp.clip(o - 1, 0, n_q - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [buf]
+    if aff is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2, cs), lambda ki, o: (ki, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(aff.astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((ps, 1), lambda ki, o: (0, 0), memory_space=pltpu.VMEM)
+    )
+    operands.append(jnp.asarray(g.interior_mask_rows()))
+    out = pl.pallas_call(
+        kern,
+        grid=(k, go.Xp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, go.plane, cs),
+            lambda ki, o: (ki, o, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, go.Xp, go.plane, cs), buf.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def _max_pool_buf_fwd(buf, aff, g, interpret):
+    out = max_pool_buf(buf, aff, g, interpret)
+    return out, (buf, aff, out)
+
+
+def _max_pool_buf_bwd(g, interpret, res, cot):
+    buf, aff, out = res
+    go = pool_geom(g)
+    k, xp, ps, cs = buf.shape
+    kern = functools.partial(
+        _pool_bwd_kernel, g=g, go=go, has_affine=aff is not None
+    )
+    n_q = g.Xp // 2
+    olast = go.Xp - 1
+    in_specs = [
+        pl.BlockSpec(
+            (1, 2, ps, cs),
+            lambda ki, q: (ki, q, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [buf]
+    if aff is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2, cs), lambda ki, q: (ki, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(aff.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, go.plane, cs),
+            lambda ki, q: (ki, jnp.minimum(q + 1, olast), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, go.plane, cs),
+            lambda ki, q: (ki, jnp.minimum(q + 1, olast), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((ps, 1), lambda ki, q: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [out, cot, jnp.asarray(g.interior_mask_rows())]
+    dbuf, dab = pl.pallas_call(
+        kern,
+        grid=(k, n_q),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (1, 2, ps, cs),
+                lambda ki, q: (ki, q, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, cs), lambda ki, q: (ki, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, xp, ps, cs), buf.dtype),
+            jax.ShapeDtypeStruct((k, 2, cs), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, cs), jnp.float32)],
+        # the first-match tree holds many plane-sized temporaries; Mosaic's
+        # stack estimate lands just over the default budget at 96^3
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    if aff is None:
+        return dbuf, None
+    return dbuf, dab.astype(aff.dtype)
+
+
+max_pool_buf.defvjp(_max_pool_buf_fwd, _max_pool_buf_bwd)
 
 
 def affine_to_channels(aff: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

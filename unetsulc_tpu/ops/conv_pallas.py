@@ -678,13 +678,19 @@ def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
 
 def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret):
     if n_inputs == 2:
+        # the WIDER branch computes the partial: the finalizing call then
+        # has the smaller slab working set, so the extra partial block
+        # stream costs it less pipelining headroom (measured ~2 ms at the
+        # full-res decoder pair the other way around)
+        first, second = (0, 1) if x1.shape[-1] >= x2.shape[-1] else (1, 0)
+        xs, abs_, ws = (x1, x2), (ab1, ab2), (w1, w2)
         p, _ = conv_shards(
-            x1, ab1, w1, None, g=g, relu=False, stats=False,
-            interpret=interpret,
+            xs[first], abs_[first], ws[first], None, g=g, relu=False,
+            stats=False, interpret=interpret,
         )
         y, sums = conv_shards(
-            x2, ab2, w2, bias, g=g, relu=True, stats=True, partial=p,
-            interpret=interpret,
+            xs[second], abs_[second], ws[second], bias, g=g, relu=True,
+            stats=True, partial=p, interpret=interpret,
         )
     else:
         y, sums = conv_shards(
@@ -851,21 +857,21 @@ def conv3d_dense_entry(
                 )
     stack = jnp.concatenate(taps, axis=-1)  # (Xp, plane, 27*cin)
     w = kernel.reshape(27 * cin, cout).astype(compute_dtype)
+    # compute-dtype output (f32 MXU accumulation inside the dot) keeps
+    # every full-res intermediate AND its autodiff cotangent in bf16 —
+    # the same rounding contract as the fused kernels' finalize
     y = jax.lax.dot_general(
         stack, w, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)
+        preferred_element_type=compute_dtype,
+    ) + bias.astype(compute_dtype)
     y = jnp.maximum(y, 0.0) * jnp.asarray(
         _interior_mask_3d(g).reshape(g.Xp, g.plane, 1)
-    )
-    s0 = jnp.sum(y, axis=(0, 1))
-    s1 = jnp.sum(y * y, axis=(0, 1))
+    ).astype(compute_dtype)
+    yf = y.astype(jnp.float32)
+    s0 = jnp.sum(yf, axis=(0, 1))
+    s1 = jnp.sum(yf * yf, axis=(0, 1))
     cs = shard_width(cout)
-    ybuf = (
-        y.astype(compute_dtype)
-        .reshape(g.Xp, g.plane, cout // cs, cs)
-        .transpose(2, 0, 1, 3)
-    )
+    ybuf = y.reshape(g.Xp, g.plane, cout // cs, cs).transpose(2, 0, 1, 3)
     return ybuf, affine_from_channels(s0, s1, cs), g
 
 

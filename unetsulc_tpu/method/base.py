@@ -262,7 +262,8 @@ class SulciLabeller:
             self.params, vol_in[None], coords[0], coords[1], coords[2]
         )
         ypred = np.asarray(ypred_d)[:n].tolist()
-        yscores = np.asarray(yscores_d)[:n]
+        # f16 transfer dtype (train/step.make_label_fn) -> f32 for cutting
+        yscores = np.asarray(yscores_d)[:n].astype(np.float32)
         ytrue = vol_lb[bck_t[:, 0], bck_t[:, 1], bck_t[:, 2]].tolist()
         return ytrue, ypred, yscores
 

@@ -294,3 +294,21 @@ def test_pallas_train_step_matches_xla():
         np.testing.assert_allclose(np.asarray(got), np.asarray(v),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_pallas_remat_grads_bit_exact():
+    """nn.remat over the PallasVol pipeline replays the kernels exactly:
+    gradients are bit-identical with and without remat (the memory-for-
+    FLOPs trade composes with the fused blocks)."""
+    r = np.random.default_rng(5)
+    x = jnp.asarray((r.random((1, 9, 8, 10, 1)) < 0.1).astype(np.float32))
+    mk = dict(in_channels=1, out_channels=5, init_channel_number=8,
+              compute_dtype=jnp.float32, pallas_blocks=True)
+    m0 = UNet3D(**mk)
+    m1 = UNet3D(**mk, remat=True)
+    params = m0.init(jax.random.key(0), x, train=True)["params"]
+    gy = jnp.asarray(r.standard_normal((1, 9, 8, 10, 5)).astype(np.float32))
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, x, train=True) * gy))(params)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, x, train=True) * gy))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

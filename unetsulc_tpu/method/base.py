@@ -190,11 +190,11 @@ class SulciLabeller:
             remat=self.tpu.remat,
             # Pallas pipeline: not under spatial pjit sharding (the kernels
             # are single-device; DP is safe — its global batch > 1 fails
-            # per-input eligibility and falls back), not with remat
+            # per-input eligibility and falls back).  remat composes:
+            # nn.remat replays the kernels over the PallasVol pytree
+            # (bit-exact, tests/test_pallas.py)
             pallas_blocks=(
-                self.tpu.pallas_blocks
-                and self.tpu.spatial_parallel <= 1
-                and not self.tpu.remat
+                self.tpu.pallas_blocks and self.tpu.spatial_parallel <= 1
             ),
         )
         kw.update(over)

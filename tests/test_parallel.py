@@ -275,3 +275,67 @@ def test_dp_bucketed_learning(cohort_dir, tmp_path):
     assert np.isfinite(m.results["epoch_loss_train"][0][0])
     # bucketed path: no fixed image size recorded
     assert "train_image_size" not in m.results
+
+
+def test_shardmap_dp_step_matches_single_device_pallas():
+    """make_train_step_dp (shard_map; per-device batch-1 Pallas pipeline)
+    reproduces the single-device step's loss/counts/updated params on the
+    same global batch — multi-chip does not forfeit the fused-kernel win."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+    from unetsulc_tpu.parallel.mesh import make_mesh
+    from unetsulc_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        make_train_step_dp,
+        make_eval_step,
+        make_eval_step_dp,
+    )
+
+    r = np.random.default_rng(11)
+    B = 2
+    x = jnp.asarray((r.random((B, 9, 8, 10, 1)) < 0.15).astype(np.float32))
+    labels = jnp.asarray(
+        np.where(r.random((B, 9, 8, 10)) < 0.1,
+                 r.integers(0, 5, (B, 9, 8, 10)), -1).astype(np.int32))
+    model = UNet3D(in_channels=1, out_channels=5, init_channel_number=8,
+                   compute_dtype=jnp.float32, pallas_blocks=True)
+    params = model.init(jax.random.key(0), x[:1], train=True)["params"]
+    # perturb off zero-init: the single-device step (batch 2) runs the XLA
+    # path while each DP shard (batch 1) runs Pallas, and the two choose
+    # different ReLU subgradients at exact zero (see test_pallas.py)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+         for v, k in zip(leaves, keys)],
+    )
+    apply_fn = make_apply_fn(model)
+    mesh = make_mesh(data=2, space=1)
+
+    s0 = TrainState.create(params, lr=0.05)
+    step0 = make_train_step(apply_fn, num_classes=5, donate=False)
+    s0, loss0, counts0 = step0(s0, x, labels)
+
+    s1 = TrainState.create(params, lr=0.05)
+    step1 = make_train_step_dp(apply_fn, num_classes=5, mesh=mesh,
+                               donate=False)
+    s1, loss1, counts1 = step1(s1, x, labels)
+
+    assert abs(float(loss0) - float(loss1)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(counts0), np.asarray(counts1))
+    for a, b in zip(jax.tree.leaves(s0.trainable),
+                    jax.tree.leaves(s1.trainable)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+    ev0 = make_eval_step(apply_fn, num_classes=5)
+    ev1 = make_eval_step_dp(apply_fn, num_classes=5, mesh=mesh)
+    l0, c0 = ev0(params, x, labels)
+    l1, c1 = ev1(params, x, labels)
+    assert abs(float(l0) - float(l1)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))

@@ -48,16 +48,45 @@ import os
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_steps(model_def, num_classes: int, momentum: float):
-    """One (train_step, eval_step) pair per model config.
+def _cached_steps(model_def, num_classes: int, momentum: float,
+                  dp: int = 1, spatial: int = 1):
+    """One (train_step, eval_step) pair per (model config, mesh shape).
 
     flax modules are frozen (hashable) dataclasses, so this memoizes the
     jit wrappers across CV folds — without it every ``learning()`` call
     would rebuild the closures and recompile identical executables
     (the reference pays a fresh optimizer+model per fold instead,
-    ref main.py:131-137)."""
+    ref main.py:131-137).
+
+    With ``dp > 1`` (and no spatial sharding) the steps are the explicit
+    shard_map variants: each device applies the model to its LOCAL batch,
+    so one volume per device stays on the batch-1 Pallas pipeline and
+    gradients meet in one psum over ICI — the pjit auto-sharded step
+    would trace the GLOBAL batch and fall back to the XLA path."""
 
     apply_fn = make_apply_fn(model_def)
+
+    if dp > 1 and spatial <= 1:
+        from unetsulc_tpu.parallel.mesh import make_mesh
+        from unetsulc_tpu.train.step import (
+            make_eval_step_dp,
+            make_train_step_dp,
+        )
+
+        mesh = make_mesh(data=dp, space=1)
+        return (
+            make_train_step_dp(
+                apply_fn,
+                num_classes,
+                mesh,
+                momentum=momentum,
+                use_dropout=model_def.dropout > 0,
+            ),
+            make_eval_step_dp(
+                apply_fn, num_classes, mesh,
+                final_sigmoid=model_def.final_sigmoid,
+            ),
+        )
 
     return (
         make_train_step(
@@ -246,7 +275,8 @@ class TrainingSulciLabeller(SulciLabeller):
         self._prepare_model_and_state(lr)
         num_classes = len(self.sulci_side_list)
         train_step, eval_step = _cached_steps(
-            self.model_def, num_classes, momentum
+            self.model_def, num_classes, momentum,
+            dp=dp, spatial=self.tpu.spatial_parallel,
         )
         state = self._state
 

@@ -288,3 +288,126 @@ def make_predict_fn(
         return logits
 
     return predict
+
+
+def make_train_step_dp(
+    apply_fn: Callable,
+    num_classes: int,
+    mesh,
+    momentum: float = 0.9,
+    background: int = -1,
+    donate: bool = True,
+    use_dropout: bool = False,
+):
+    """Data-parallel train step as an explicit shard_map over the mesh's
+    'data' axis.
+
+    Unlike the pjit auto-sharded step (whose traced model sees the GLOBAL
+    batch and therefore falls off the batch-1 Pallas pipeline), each shard
+    here applies the model to its LOCAL batch — one volume per device runs
+    the fused kernels — and the gradients meet in one psum over ICI.  The
+    global loss is the exact reference semantics (mean CE over the global
+    batch's valid voxels): shards contribute unnormalized NLL sums and
+    valid counts, psum'd before the division, so the result is
+    bitwise-independent of the device count up to reduction order.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state: TrainState, inputs, labels):
+        def loss_fn(trainable):
+            params = freeze.merge(trainable, state.frozen)
+            if use_dropout:
+                rngs = {
+                    "dropout": jax.random.fold_in(
+                        jax.random.fold_in(jax.random.key(0), state.step),
+                        jax.lax.axis_index("data"),
+                    )
+                }
+                logits = apply_fn(params, inputs, train=True, rngs=rngs,
+                                  padded_output=True)
+            else:
+                logits = apply_fn(params, inputs, train=True,
+                                  padded_output=True)
+            lbl = _match_labels(logits, labels, background)
+            mean = cross_entropy_ignore(logits, lbl, background)
+            cnt = jnp.sum((lbl != background).astype(jnp.int32))
+            return mean * cnt, (logits, lbl, cnt)
+
+        (nll, (logits, lbl, cnt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable)
+        preds = jnp.argmax(logits, axis=-1)
+        counts = confusion_counts(lbl, preds, num_classes, background)
+
+        nll_g = jax.lax.psum(nll, "data")
+        cnt_g = jax.lax.psum(cnt, "data")
+        grads = jax.lax.psum(grads, "data")
+        counts = jax.lax.psum(counts, "data")
+        denom = jnp.maximum(cnt_g, 1).astype(jnp.float32)
+        loss = nll_g / denom
+
+        new_buf = jax.tree.map(
+            lambda b, gr: momentum * b + gr / denom,
+            state.momentum_buf, grads,
+        )
+        new_trainable = jax.tree.map(
+            lambda p, b: (p - state.lr * b).astype(p.dtype),
+            state.trainable, new_buf,
+        )
+        new_state = state.replace(
+            trainable=new_trainable, momentum_buf=new_buf,
+            step=state.step + 1,
+        )
+        return new_state, loss, counts
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step_dp(
+    apply_fn: Callable,
+    num_classes: int,
+    mesh,
+    background: int = -1,
+    apply_activation: bool = True,
+    final_sigmoid: bool = False,
+):
+    """Data-parallel eval step (shard_map twin of make_eval_step): each
+    device evaluates its local volume on the Pallas pipeline; NLL sums,
+    valid counts, and confusion counts psum over 'data'."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(params, inputs, labels):
+        logits = apply_fn(
+            params, inputs, train=False, apply_final_activation=False,
+            padded_output=True,
+        )
+        lbl = _match_labels(logits, labels, background)
+        preds = jnp.argmax(logits, axis=-1)
+        if apply_activation:
+            logits = _final_activation(logits, final_sigmoid)
+        mean = cross_entropy_ignore(logits, lbl, background)
+        cnt = jnp.sum((lbl != background).astype(jnp.int32))
+        counts = confusion_counts(lbl, preds, num_classes, background)
+        nll_g = jax.lax.psum(mean * cnt, "data")
+        cnt_g = jax.lax.psum(cnt, "data")
+        counts = jax.lax.psum(counts, "data")
+        loss = nll_g / jnp.maximum(cnt_g, 1).astype(jnp.float32)
+        return loss, counts
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -187,7 +187,11 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
 
     from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
     from unetsulc_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
-    from unetsulc_tpu.train.step import TrainState, make_train_step
+    from unetsulc_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        make_train_step_dp,
+    )
 
     on_cpu = jax.default_backend() == "cpu"
     if equivalence is None:
@@ -204,6 +208,9 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
         out_channels=out_ch,
         init_channel_number=init_ch,
         compute_dtype=jnp.float32 if on_cpu else jnp.bfloat16,
+        # pure DP benches the production shard_map path: each device's
+        # local batch-1 volume runs the fused Pallas pipeline
+        pallas_blocks=sp <= 1,
     )
     rng = np.random.default_rng(0)
     batch = max(dp, 1)
@@ -213,9 +220,15 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
         jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
     )["params"]
     apply_fn = make_apply_fn(model)
-    step = make_train_step(
-        apply_fn, num_classes=out_ch, momentum=0.9, donate=False
-    )
+    if sp <= 1 and dp > 1:
+        step = make_train_step_dp(
+            apply_fn, num_classes=out_ch, mesh=mesh, momentum=0.9,
+            donate=False,
+        )
+    else:
+        step = make_train_step(
+            apply_fn, num_classes=out_ch, momentum=0.9, donate=False
+        )
 
     state = jax.device_put(TrainState.create(params, lr=0.01), replicate(mesh))
     bs = batch_sharding(mesh)
@@ -227,7 +240,10 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
 
     if equivalence:
         ref_state = TrainState.create(params, lr=0.01)
-        _, ref_loss, _ = step(
+        ref_step = make_train_step(
+            apply_fn, num_classes=out_ch, momentum=0.9, donate=False
+        )
+        _, ref_loss, _ = ref_step(
             ref_state, jax.device_put(jnp.asarray(inputs)),
             jax.device_put(jnp.asarray(labels)),
         )

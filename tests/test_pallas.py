@@ -312,3 +312,38 @@ def test_pallas_remat_grads_bit_exact():
     g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, x, train=True) * gy))(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("shape", [(9, 8, 10, 8), (7, 9, 5, 4)])
+def test_pallas_pool_matches_reduce_window_oracle(shape):
+    """max_pool_buf (Pallas kernel pair) == max_pool_buf_xla (reduce_window
+    + select-and-scatter): forward, tie ROUTING in the backward (dbuf must
+    be bitwise equal — both implement torch's first >= match), and
+    d(affine)."""
+    X, Y, Z, C = shape
+    r = np.random.default_rng(0)
+    g = cp.make_geom(X, Y, Z)
+    x5 = jnp.asarray(r.standard_normal((1, X, Y, Z, C)).astype(np.float32))
+    buf = cp.pad_to_geom(x5, g)
+    a = jnp.asarray((r.standard_normal(C) * 0.5 + 1).astype(np.float32))
+    b = jnp.asarray((r.standard_normal(C) * 0.2).astype(np.float32))
+    aff = cp.affine_from_channels(a, b, buf.shape[-1])
+
+    ref = cp.max_pool_buf_xla(buf, aff, g)
+    got = cp.max_pool_buf(buf, aff, g, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    gy = jnp.asarray(r.standard_normal(ref.shape).astype(np.float32))
+    gr = jax.grad(lambda t: jnp.sum(cp.max_pool_buf_xla(t[0], t[1], g) * gy))(
+        (buf, aff))
+    gp = jax.grad(lambda t: jnp.sum(cp.max_pool_buf(t[0], t[1], g, True) * gy))(
+        (buf, aff))
+    np.testing.assert_array_equal(np.asarray(gr[0]), np.asarray(gp[0]))
+    np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gp[1]),
+                               rtol=1e-4, atol=1e-4)
+
+    # affine-free entry (post-pool levels)
+    np.testing.assert_allclose(
+        np.asarray(cp.max_pool_buf(buf, None, g, True)),
+        np.asarray(cp.max_pool_buf_xla(buf, None, g)), rtol=1e-6, atol=1e-6)

@@ -98,12 +98,6 @@ def shard_width(c: int) -> int:
     return c
 
 
-def pair_width(cins: Sequence[int]) -> int:
-    """Uniform in-shard width for a multi-branch conv input (legacy v3 API;
-    v4 pair branches keep their own natural widths)."""
-    return min(shard_width(ci) for ci in cins)
-
-
 @dataclasses.dataclass(frozen=True)
 class Geom:
     """Padded-buffer geometry for one resolution level.
@@ -169,20 +163,6 @@ def unpad_from_geom(buf: jnp.ndarray, g: Geom) -> jnp.ndarray:
     k, xp, ps, cs = buf.shape
     x5 = buf.transpose(1, 2, 0, 3).reshape(g.Xp, g.Yp, g.Zp, k * cs)
     return x5[1 : 1 + g.X, 1 : 1 + g.Y, 1 : 1 + g.Z, :][None]
-
-
-def reshard(buf: jnp.ndarray, cs_new: int) -> jnp.ndarray:
-    """(K, Xp, ps, cs) -> (K*cs/cs_new, Xp, ps, cs_new), channel order kept."""
-    k, xp, ps, cs = buf.shape
-    if cs == cs_new:
-        return buf
-    assert cs % cs_new == 0, (cs, cs_new)
-    r = cs // cs_new
-    return (
-        buf.reshape(k, xp, ps, r, cs_new)
-        .transpose(0, 3, 1, 2, 4)
-        .reshape(k * r, xp, ps, cs_new)
-    )
 
 
 def shard_weights(

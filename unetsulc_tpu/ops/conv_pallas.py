@@ -59,11 +59,13 @@ elementwise passes.  ``fused_conv_block`` wires it all into
 ``jax.custom_vjp`` so plain autodiff over the model yields exact
 gradients.
 
-Decoder blocks pass TWO inputs (skip, upsampled): the first branch's conv
-writes a pre-activation ``partial`` buffer that the second branch's call
-consumes — the channel concat never exists (same linearity trick as
-models.unet3d.SplitConv3; the transfer-learning contract and param naming
-are untouched), and each branch keeps its natural shard width.
+Decoder blocks pass TWO inputs (skip, upsampled): the WIDER branch's
+conv writes a pre-activation ``partial`` buffer that the narrower
+branch's call consumes (the finalizing call has the smaller slab working
+set, so the extra partial stream costs it less pipelining headroom) —
+the channel concat never exists (same linearity trick as
+models.unet3d.SplitConv3; the transfer-learning contract and param
+naming are untouched), and each branch keeps its natural shard width.
 
 Reference semantics preserved: 'crg' order conv->ReLU->GroupNorm with
 zero padding included in GN statistics (SURVEY.md §7 hard part #2); the

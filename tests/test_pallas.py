@@ -347,3 +347,37 @@ def test_pallas_pool_matches_reduce_window_oracle(shape):
     np.testing.assert_allclose(
         np.asarray(cp.max_pool_buf(buf, None, g, True)),
         np.asarray(cp.max_pool_buf_xla(buf, None, g)), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("extent", [(12, 17, 19), (15, 6, 11)])
+def test_unet_pallas_irregular_extents(extent):
+    """Pallas path == XLA path on irregular volumes: odd extents, z past
+    the 16-row tile (Zp=32), odd pooled sizes at every level — the shapes
+    per-sample cubic buckets produce."""
+    r = np.random.default_rng(0)
+    x = jnp.asarray((r.random((1, *extent, 1)) < 0.1).astype(np.float32))
+    mk = dict(in_channels=1, out_channels=4, init_channel_number=8,
+              compute_dtype=jnp.float32)
+    mx = UNet3D(**mk)
+    mp = UNet3D(**mk, pallas_blocks=True)
+    params = mx.init(jax.random.key(0), x, train=True)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+         for v, k in zip(leaves, keys)],
+    )
+    yx = mx.apply({"params": params}, x, train=True)
+    yp = mp.apply({"params": params}, x, train=True)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx),
+                               rtol=1e-4, atol=2e-4)
+    gy = jnp.asarray(r.standard_normal(yx.shape).astype(np.float32))
+    gx = jax.grad(lambda p: jnp.sum(mx.apply({"params": p}, x, train=True) * gy))(params)
+    gp = jax.grad(lambda p: jnp.sum(mp.apply({"params": p}, x, train=True) * gy))(params)
+    for (k, a), b in zip(jax.tree_util.tree_leaves_with_path(gx),
+                         jax.tree_util.tree_leaves(gp)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(k))

@@ -381,3 +381,42 @@ def test_unet_pallas_irregular_extents(extent):
         np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_pallas_train_step_multiconv_and_sigmoid():
+    """Padded-output mode with a num_conv=2 Lane1x1 chain, and
+    final_sigmoid eval probabilities, both match the XLA path."""
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import TrainState, make_train_step, make_eval_step
+
+    r = np.random.default_rng(4)
+    x = jnp.asarray((r.random((1, 9, 8, 10, 1)) < 0.15).astype(np.float32))
+    labels = jnp.asarray(
+        np.where(r.random((1, 9, 8, 10)) < 0.1,
+                 r.integers(0, 5, (1, 9, 8, 10)), -1).astype(np.int32))
+    mk = dict(in_channels=1, out_channels=5, init_channel_number=8,
+              num_conv=2, final_sigmoid=True, compute_dtype=jnp.float32)
+    mx = UNet3D(**mk)
+    mp = UNet3D(**mk, pallas_blocks=True)
+    params = mx.init(jax.random.key(0), x, train=True)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+         for v, k in zip(leaves, keys)])
+
+    outs = {}
+    for name, m in (("xla", mx), ("pal", mp)):
+        state = TrainState.create(params, lr=0.05)
+        step = make_train_step(make_apply_fn(m), num_classes=5, donate=False)
+        state, loss, counts = step(state, x, labels)
+        ev = make_eval_step(make_apply_fn(m), num_classes=5,
+                            final_sigmoid=True)
+        eloss, ecounts = ev(params, x, labels)
+        outs[name] = (float(loss), np.asarray(counts), float(eloss),
+                      np.asarray(ecounts))
+    assert abs(outs["xla"][0] - outs["pal"][0]) < 1e-5
+    np.testing.assert_array_equal(outs["xla"][1], outs["pal"][1])
+    assert abs(outs["xla"][2] - outs["pal"][2]) < 1e-5
+    np.testing.assert_array_equal(outs["xla"][3], outs["pal"][3])

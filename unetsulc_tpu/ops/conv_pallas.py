@@ -473,10 +473,19 @@ def conv_shards(
         operands.append(partial)
 
     sg = g.Zp
+    # the partial accumulator is consumed exactly once and then dead:
+    # alias it to the y output so the finalize writes in place (no second
+    # full-volume allocation for the pair's result)
+    aliases = (
+        {len(operands) - 1: 0}
+        if partial is not None and partial.dtype == out_dtype
+        else {}
+    )
     y, sums = pl.pallas_call(
         kern,
         grid=(g.Xp, kin),
         in_specs=in_specs,
+        input_output_aliases=aliases,
         out_specs=(
             pl.BlockSpec(
                 (kout, 1, ps, cso),

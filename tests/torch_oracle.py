@@ -59,14 +59,27 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
-    def __init__(self, cin, cout, order="crg"):
+    def __init__(self, cin, cout, order="crg", interpolate=True):
         super().__init__()
+        if not interpolate:
+            # deepsulci lineage: ConvTranspose3d(2c, 2c, 3, stride=2,
+            # padding=1, output_padding=1) named `upsample`; combined with
+            # the PADDED maxpool its 2*d output over-shoots the skip's
+            # extent, so the pinned contract crops the leading corner
+            # (CONTRACTS.md §5)
+            self.upsample = nn.ConvTranspose3d(
+                2 * cout, 2 * cout, 3, stride=2, padding=1, output_padding=1
+            )
         self.double_conv = DoubleConv(cin, cout, order)
 
     def forward(self, skip, x):
-        x = F.interpolate(
-            x, size=skip.shape[2:], mode="trilinear", align_corners=False
-        )
+        if hasattr(self, "upsample"):
+            x = self.upsample(x)
+            x = x[:, :, : skip.shape[2], : skip.shape[3], : skip.shape[4]]
+        else:
+            x = F.interpolate(
+                x, size=skip.shape[2:], mode="trilinear", align_corners=False
+            )
         return self.double_conv(torch.cat([skip, x], dim=1))
 
 
@@ -79,6 +92,7 @@ class UNet3DOracle(nn.Module):
         conv_layer_order="crg",
         init_channel_number=64,
         num_conv=1,
+        interpolate=True,
     ):
         super().__init__()
         i = init_channel_number
@@ -92,9 +106,12 @@ class UNet3DOracle(nn.Module):
         )
         self.decoders = nn.ModuleList(
             [
-                Decoder(4 * i + 8 * i, 4 * i, order=conv_layer_order),
-                Decoder(2 * i + 4 * i, 2 * i, order=conv_layer_order),
-                Decoder(i + 2 * i, i, order=conv_layer_order),
+                Decoder(4 * i + 8 * i, 4 * i, order=conv_layer_order,
+                        interpolate=interpolate),
+                Decoder(2 * i + 4 * i, 2 * i, order=conv_layer_order,
+                        interpolate=interpolate),
+                Decoder(i + 2 * i, i, order=conv_layer_order,
+                        interpolate=interpolate),
             ]
         )
         if num_conv <= 1:

@@ -122,8 +122,9 @@ class TpuConfig:
     # use Pallas fused GroupNorm kernel where profitable
     pallas_groupnorm: bool = True
     # run eligible batch-1 volumes through the fused conv+ReLU+GN Pallas
-    # pipeline (models/unet3d.py pallas_blocks); auto-disabled under
-    # spatial sharding / remat and for any ineligible input shape
+    # pipeline (models/unet3d.py pallas_blocks); composes with remat
+    # (bit-exact, test_pallas_remat_grads_bit_exact); auto-disabled for
+    # any ineligible input shape
     pallas_blocks: bool = True
     # host->device prefetch depth
     prefetch: int = 2

@@ -32,6 +32,13 @@ def _torch_to_flax_path(key: str) -> Tuple[Tuple[str, ...], bool]:
     leaf = parts[-1]
     if parts[0] in ("encoders", "decoders"):
         block = f"{parts[0]}_{parts[1]}"
+        if parts[2] == "upsample":
+            # interpolate=False decoder: ConvTranspose3d weight layout is
+            # (Cin, Cout, kX, kY, kZ) — unlike Conv3d's (Cout, Cin, ...)
+            flax_leaf = "kernel" if leaf == "weight" else "bias"
+            return (block, "upsample", flax_leaf), (
+                "transpose" if leaf == "weight" else False
+            )
         assert parts[2] == "double_conv", key
         layer = parts[3]  # conv1/conv2/norm1/norm2
         if layer.startswith("conv"):
@@ -56,7 +63,10 @@ def params_from_state_dict(state: Dict[str, np.ndarray]) -> dict:
     for key, arr in state.items():
         path, is_conv_w = _torch_to_flax_path(key)
         arr = np.asarray(arr)
-        if is_conv_w:
+        if is_conv_w == "transpose":
+            # ConvTranspose3d weight (I, O, kX, kY, kZ) -> flax (kX, kY, kZ, I, O)
+            arr = np.transpose(arr, (2, 3, 4, 0, 1))
+        elif is_conv_w:
             # torch conv3d weight (O, I, kX, kY, kZ) -> flax (kX, kY, kZ, I, O)
             arr = np.transpose(arr, (2, 3, 4, 1, 0))
         arr = np.ascontiguousarray(arr, dtype=np.float32)
@@ -88,6 +98,14 @@ def state_dict_from_params(params: dict) -> Dict[str, np.ndarray]:
         block = path[0]
         if block.startswith(("encoders_", "decoders_")):
             kind, idx = block.split("_")
+            if path[1] == "upsample":
+                leaf = "weight" if path[2] == "kernel" else "bias"
+                key = f"{kind}.{idx}.upsample.{leaf}"
+                if leaf == "weight":
+                    # flax (kX, kY, kZ, I, O) -> ConvTranspose3d (I, O, k...)
+                    arr = np.transpose(arr, (3, 4, 0, 1, 2))
+                entries[key] = np.ascontiguousarray(arr, dtype=np.float32)
+                continue
             layer = path[2]
             if layer.startswith("conv"):
                 leaf = "weight" if path[3] == "kernel" else "bias"
@@ -115,7 +133,9 @@ def state_dict_from_params(params: dict) -> Dict[str, np.ndarray]:
     def sort_key(k: str):
         rank = {"encoders": 0, "decoders": 1, "final_conv": 2}
         parts = k.split(".")
-        return (rank[parts[0]], k)
+        # within a decoder, torch registers `upsample` before `double_conv`
+        sub = 0 if len(parts) > 2 and parts[2] == "upsample" else 1
+        return (rank[parts[0]], parts[: min(len(parts), 2)], sub, k)
 
     return {k: entries[k] for k in sorted(entries, key=sort_key)}
 

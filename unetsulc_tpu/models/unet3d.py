@@ -371,6 +371,57 @@ class Encoder(nn.Module):
         )(x)
 
 
+class UpsampleTranspose(nn.Module):
+    """Transposed-conv 2x upsampling — the ``interpolate=False`` decoder path.
+
+    Matches torch ``nn.ConvTranspose3d(C, C, kernel_size=3, stride=2,
+    padding=1, output_padding=1)`` (the deepsulci UNet3D's ``upsample``
+    submodule; the ctor flag is threaded from parameters.json
+    ``dict_model.interpolate`` via ref pattern_class.py:81-85 and ref
+    training.py:65-67).  Implemented as the standard dilated-conv
+    equivalence: conv(lhs_dilation=2, padding (1,2) per axis) with the
+    spatially flipped kernel — output extent is exactly ``2*d`` per axis,
+    torch's ``(d-1)*2 - 2*p + k + op``.
+
+    The param is stored as ``kernel`` (kX, kY, kZ, Cin, Cout) — the direct
+    axis-permutation of torch's ConvTranspose3d (Cin, Cout, kX, kY, kZ)
+    layout, NO flip — so ``.mdsm`` interop stays a mechanical transpose
+    (models/torch_interop.py handles the ``upsample`` name).
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if self.compute_dtype == jnp.float32
+            else None
+        )
+        k = jnp.flip(kernel.astype(self.compute_dtype), axis=(0, 1, 2))
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            k,
+            window_strides=(1, 1, 1),
+            padding=((1, 2), (1, 2), (1, 2)),
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=precision,
+        )
+        return out + bias.astype(out.dtype)
+
+
 class Decoder(nn.Module):
     in_channels: int
     out_channels: int
@@ -384,11 +435,27 @@ class Decoder(nn.Module):
         self, encoder_features: jnp.ndarray, x: jnp.ndarray
     ) -> jnp.ndarray:
         if not self.interpolate:
-            raise NotImplementedError(
-                "transposed-conv upsampling is not implemented; the "
-                "reference always runs interpolate=True "
-                "(ref pattern_class.py:85, fill_dict_model default)"
-            )
+            # transposed-conv upsampling (CONTRACTS.md §5): ConvTranspose
+            # doubles each extent, but the skip has floor(d/2)+1 -> d
+            # semantics from the PADDED maxpool, so the upstream module
+            # would produce d+1 / d+2 rows and crash at the concat; the
+            # pinned completion crops the leading corner to the skip's
+            # extent.  Not Pallas-eligible (interpolate gate); XLA path.
+            assert not isinstance(x, PallasVol)
+            target = encoder_features.shape[1:4]
+            up = UpsampleTranspose(
+                features=x.shape[-1],
+                compute_dtype=self.compute_dtype,
+                name="upsample",
+            )(x)
+            up = up[:, : target[0], : target[1], : target[2], :]
+            return DoubleConv(
+                self.in_channels,
+                self.out_channels,
+                self.order,
+                compute_dtype=self.compute_dtype,
+                name="double_conv",
+            )((encoder_features, up.astype(encoder_features.dtype)))
         if isinstance(x, PallasVol):
             # trilinear resize is affine-commuting (weights sum to 1 per
             # output voxel), so resize the RAW buffer and keep the lazy GN
@@ -562,6 +629,19 @@ class UNet3D(nn.Module):
     # keep working for any input.
     pallas_blocks: Optional[bool] = None
 
+    def _shard_widths_ok(self) -> bool:
+        """Every channel count the pipeline shards must satisfy
+        ``shard_width``'s contract (c < 128 or c % 128 == 0).
+
+        The channel ladder is i/2, i, 2i, 4i, 8i (encoder mids and outs;
+        decoder widths are a subset), so e.g. ``num_filter=48`` produces a
+        192-wide level that the kernels cannot shard — fall back to the
+        XLA path instead of tripping the assert at trace time
+        (ADVICE r2, medium)."""
+        i = self.init_channel_number
+        widths = {max(i // 2, 1), i, 2 * i, 4 * i, 8 * i}
+        return all(c < cp.MAX_SHARD or c % cp.MAX_SHARD == 0 for c in widths)
+
     def _pallas_eligible(self, x: jnp.ndarray) -> bool:
         # on real TPU hardware the kernels' f32 matmuls run at Mosaic's
         # default (reduced) MXU precision, which would silently break the
@@ -587,6 +667,7 @@ class UNet3D(nn.Module):
             and self.interpolate
             and dtype_ok
             and size_ok
+            and self._shard_widths_ok()
             and min(x.shape[1:4]) >= 4
         )
 

@@ -257,8 +257,8 @@ def _fwd_kernel(
     out_dtype,
 ):
     i = 0
-    xmid, xnext = refs[i : i + 2]  # (1, 1, plane, cs) blocks
-    i += 2
+    xnext = refs[i]  # (1, 1, plane, cs) block: incoming plane t+1 (clamped)
+    i += 1
     ab_ref = None
     if has_affine:
         ab_ref = refs[i]  # (1, 2, cs)
@@ -282,7 +282,7 @@ def _fwd_kernel(
     n_ki = pl.num_programs(1)
     ps = g.plane
     sg = g.Zp  # row guard on each side of a slab (covers the +-Zp dy taps)
-    cs = xmid.shape[-1]
+    cs = xnext.shape[-1]
     mask = mask_ref[...]
 
     @pl.when(t == 0)
@@ -428,15 +428,12 @@ def conv_shards(
     last = g.Xp - 1
     in_specs = [
         pl.BlockSpec(
-            (1, 1, ps, cs), lambda t, ki: (ki, t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
             (1, 1, ps, cs),
             lambda t, ki: (ki, jnp.minimum(t + 1, last), 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    operands = [x, x]
+    operands = [x]
     if ab is not None:
         assert ab.shape == (kin, 2, cs), (ab.shape,)
         in_specs.append(

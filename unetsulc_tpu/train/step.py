@@ -46,6 +46,10 @@ def _match_labels(logits, labels, background):
     from unetsulc_tpu.ops.conv_pallas import make_geom
 
     n, x, y, z = labels.shape
+    # 3-D logits only occur on the batch-1 Pallas pipeline; indexing
+    # labels[0] below would silently drop extra volumes if that invariant
+    # ever drifted (ADVICE r2) — fail loudly instead.
+    assert n == 1, f"padded row-major logits require batch 1, got {n}"
     g = make_geom(x, y, z)
     assert (g.Xp, g.plane) == logits.shape[:2], (logits.shape, g)
     lp = jnp.pad(
@@ -263,8 +267,13 @@ def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
         # float16 transfer dtype: yscores are probabilities in [0, 1], and
         # the device->host fetch of (n_voxels x classes) dominates label
         # latency on tunneled links (f16 keeps 10 mantissa bits — more
-        # than bf16 — while halving the transfer; the caller upcasts)
-        return ypred, yscores.astype(jnp.float16)
+        # than bf16 — while halving the transfer; the caller upcasts).
+        # Gated on the TPU backend: that is where the tunnel win matters,
+        # and the CPU/parity paths keep the reference's f32 scores exactly
+        # (cutting/threshold decisions see no rounding, ADVICE r2).
+        if jax.default_backend() == "tpu":
+            yscores = yscores.astype(jnp.float16)
+        return ypred, yscores
 
     return label
 

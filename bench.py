@@ -44,7 +44,7 @@ def _make_batch(rng, batch, volume):
     return inputs, labels
 
 
-def bench_jax() -> float:
+def bench_jax(batch: int = BATCH) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,7 @@ def bench_jax() -> float:
         pallas_blocks=True,
     )
     rng = np.random.default_rng(0)
-    inputs, labels = _make_batch(rng, BATCH, VOLUME)
+    inputs, labels = _make_batch(rng, batch, VOLUME)
     params = model.init(
         jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
     )["params"]
@@ -68,7 +68,11 @@ def bench_jax() -> float:
 
     apply_fn = make_apply_fn(model)
     state = TrainState.create(params, lr=0.01)
-    step = make_train_step(apply_fn, num_classes=OUT_CHANNELS, momentum=0.9)
+    # batch>1 scans per-volume forwards so every volume keeps the fused
+    # Pallas pipeline (train/step.py scan_batch; VERDICT r2 item 5)
+    step = make_train_step(
+        apply_fn, num_classes=OUT_CHANNELS, momentum=0.9, scan_batch=True
+    )
 
     inputs = jax.device_put(jnp.asarray(inputs))
     labels = jax.device_put(jnp.asarray(labels))
@@ -89,7 +93,7 @@ def bench_jax() -> float:
     float(sum(loss_terms))
     dt = time.perf_counter() - t0
 
-    voxels = BATCH * int(np.prod(VOLUME)) * STEPS
+    voxels = batch * int(np.prod(VOLUME)) * STEPS
     return voxels / dt
 
 
@@ -265,6 +269,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch-cpu-baseline", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument(
+        "--batch", type=int, default=BATCH,
+        help="train-step batch size (batch>1 scans volumes on the fused "
+        "pipeline)",
+    )
     ap.add_argument("--dp", type=int, default=0, help="data-parallel axis")
     ap.add_argument("--sp", type=int, default=1, help="spatial-parallel axis")
     ap.add_argument("--check-equivalence", action="store_true")
@@ -318,7 +327,7 @@ def main():
         )
         return
 
-    v = bench_jax()
+    v = bench_jax(batch=args.batch)
     print(
         json.dumps(
             {

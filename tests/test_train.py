@@ -398,3 +398,100 @@ def test_controller_checkpoint_on_improvement(tmp_path):
     np.testing.assert_array_equal(read_state_dict(p)["w"], 1.0)
     dl(0.5, get_state=lambda: state)  # better: saved
     np.testing.assert_array_equal(read_state_dict(p)["w"], 0.0)
+
+
+def _scan_batch_data(batch=3, size=10, classes=3, seed=11):
+    rng = np.random.default_rng(seed)
+    inputs = (rng.random((batch, size, size, size, 1)) < 0.1).astype(
+        np.float32
+    )
+    labels = np.where(
+        inputs[..., 0] > 0,
+        rng.integers(0, classes, (batch, size, size, size)),
+        -1,
+    ).astype(np.int32)
+    return jnp.asarray(inputs), jnp.asarray(labels)
+
+
+def test_scan_batch_train_step_matches_batched():
+    """scan_batch=True runs per-volume forwards under lax.map; loss, grads
+    (via the updated params), and confusion counts must equal the batched
+    step's (same f32 XLA model, reduction-order tolerance only)."""
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+
+    model = tiny_model()
+    inputs, labels = _scan_batch_data()
+    params = model.init(
+        jax.random.key(2), jnp.zeros((1, 8, 8, 8, 1)), train=True
+    )["params"]
+    apply_fn = make_apply_fn(model)
+    outs = {}
+    for scan in (False, True):
+        state = TrainState.create(params, lr=0.05)
+        step = make_train_step(
+            apply_fn, num_classes=3, momentum=0.9, donate=False,
+            scan_batch=scan,
+        )
+        state, loss, counts = step(state, inputs, labels)
+        outs[scan] = (float(loss), np.asarray(counts),
+                      jax.tree.map(np.asarray, state.trainable))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-6)
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    for a, b in zip(jax.tree.leaves(outs[True][2]),
+                    jax.tree.leaves(outs[False][2])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_scan_batch_eval_step_matches_batched():
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+
+    model = tiny_model()
+    inputs, labels = _scan_batch_data(seed=12)
+    params = model.init(
+        jax.random.key(3), jnp.zeros((1, 8, 8, 8, 1)), train=True
+    )["params"]
+    apply_fn = make_apply_fn(model)
+    outs = {}
+    for scan in (False, True):
+        step = make_eval_step(
+            apply_fn, num_classes=3, scan_batch=scan
+        )
+        loss, counts = step(params, inputs, labels)
+        outs[scan] = (float(loss), np.asarray(counts))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-6)
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
+def test_scan_batch_engages_pallas_pipeline():
+    """With pallas_blocks=True a batch-2 input is XLA when batched but runs
+    the fused pipeline per volume under scan_batch (f32 interpret mode on
+    CPU is exact, so results must STILL match the batched XLA step)."""
+    from unetsulc_tpu.models.unet3d import UNet3D, make_apply_fn
+
+    model = UNet3D(
+        in_channels=1,
+        out_channels=3,
+        init_channel_number=8,
+        compute_dtype=jnp.float32,
+        pallas_blocks=True,
+    )
+    # per-volume eligibility on the CPU test backend needs <= 4096 voxels
+    inputs, labels = _scan_batch_data(batch=2, size=8, seed=13)
+    params = model.init(
+        jax.random.key(4), jnp.zeros((1, 8, 8, 8, 1)), train=True
+    )["params"]
+    # (per-volume eligibility is exercised through apply below: batch-1
+    # slices take the pipeline, the batched input does not — unet3d
+    # _pallas_eligible gates on x.shape[0] == 1)
+    apply_fn = make_apply_fn(model)
+    outs = {}
+    for scan in (False, True):
+        state = TrainState.create(params, lr=0.05)
+        step = make_train_step(
+            apply_fn, num_classes=3, momentum=0.9, donate=False,
+            scan_batch=scan,
+        )
+        state, loss, counts = step(state, inputs, labels)
+        outs[scan] = (float(loss), np.asarray(counts))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])

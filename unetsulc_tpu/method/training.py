@@ -65,6 +65,17 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
     would trace the GLOBAL batch and fall back to the XLA path."""
 
     apply_fn = make_apply_fn(model_def)
+    # batch>1 (global, or local under DP when batch_size > devices) would
+    # silently fall off the batch-1 Pallas pipeline; scanning per-volume
+    # forwards keeps the fused kernels with exact batch-mean loss
+    # (train/step.py scan_batch).  Only worth it when the model would
+    # actually take the pipeline per volume.
+    scan_batch = bool(
+        model_def.pallas_blocks
+        and model_def.dropout == 0
+        and model_def.interpolate
+        and model_def.conv_layer_order == "crg"
+    )
 
     if dp > 1 and spatial <= 1:
         from unetsulc_tpu.parallel.mesh import make_mesh
@@ -81,10 +92,12 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
                 mesh,
                 momentum=momentum,
                 use_dropout=model_def.dropout > 0,
+                scan_batch=scan_batch,
             ),
             make_eval_step_dp(
                 apply_fn, num_classes, mesh,
                 final_sigmoid=model_def.final_sigmoid,
+                scan_batch=scan_batch,
             ),
         )
 
@@ -94,9 +107,11 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
             num_classes,
             momentum=momentum,
             use_dropout=model_def.dropout > 0,
+            scan_batch=scan_batch,
         ),
         make_eval_step(
-            apply_fn, num_classes, final_sigmoid=model_def.final_sigmoid
+            apply_fn, num_classes, final_sigmoid=model_def.final_sigmoid,
+            scan_batch=scan_batch,
         ),
     )
 

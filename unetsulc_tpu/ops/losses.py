@@ -27,6 +27,20 @@ def cross_entropy_ignore(
     at 96^3 x 63 on v5e (profiled).  The one-hot masked-sum formulation
     keeps both passes as fusable elementwise+reduce work.
     """
+    nll_sum, count = cross_entropy_sum(logits, labels, ignore_index)
+    return nll_sum / jnp.maximum(count, 1)
+
+
+def cross_entropy_sum(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = -1,
+):
+    """Unreduced pieces of :func:`cross_entropy_ignore`: (NLL sum, valid
+    voxel count).  Lets callers combine per-volume terms with the exact
+    batch-mean semantics (sum of sums / sum of counts) — the batch-scan
+    train step uses this so scanning volumes one at a time reproduces the
+    batched loss bit-for-bit up to reduction order."""
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
     logits32 = logits.astype(jnp.float32)
@@ -36,5 +50,4 @@ def cross_entropy_ignore(
     )
     picked = jnp.sum(jnp.where(onehot, logits32, 0.0), axis=-1)
     nll = jnp.where(valid, lse - picked, 0.0)
-    count = jnp.maximum(valid.sum(), 1)
-    return nll.sum() / count
+    return nll.sum(), valid.sum()

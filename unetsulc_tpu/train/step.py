@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from unetsulc_tpu.ops.esi import confusion_counts
-from unetsulc_tpu.ops.losses import cross_entropy_ignore
+from unetsulc_tpu.ops.losses import cross_entropy_ignore, cross_entropy_sum
 from unetsulc_tpu.train import freeze
 
 
@@ -132,6 +132,7 @@ def make_train_step(
     background: int = -1,
     donate: bool = True,
     use_dropout: bool = False,
+    scan_batch: bool = False,
 ):
     """Build the jitted train step.
 
@@ -141,11 +142,38 @@ def make_train_step(
     ``use_dropout`` threads a per-step PRNG (folded from ``state.step``)
     into the model's 'dropout' stream (the deepsulci UNet3D exposes a
     dropout rate, ref training.py:66 — always 0 in the reference configs).
+
+    ``scan_batch``: run batch>1 inputs as a ``lax.map`` over per-volume
+    batch-1 forwards instead of one batched forward.  Each volume then
+    satisfies the fused Pallas pipeline's batch-1 eligibility
+    (models/unet3d.py), closing the silent batched-XLA fallback of the
+    reference's batch-2 config (BASELINE.json); the combined loss is the
+    exact torch batch-mean (sum of per-volume NLL sums / sum of valid
+    counts) and gradients follow by linearity.  Ignored at batch 1 and
+    under dropout (dropout is Pallas-ineligible anyway).
     """
 
     def step(state: TrainState, inputs, labels):
+        scan = scan_batch and inputs.shape[0] > 1 and not use_dropout
+
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
+            if scan:
+                def one(args):
+                    xi, lbi = args
+                    logits = apply_fn(params, xi[None], train=True,
+                                      padded_output=True)
+                    lbl = _match_labels(logits, lbi[None], background)
+                    nll, cnt = cross_entropy_sum(logits, lbl, background)
+                    preds = jnp.argmax(logits, axis=-1)
+                    cc = confusion_counts(lbl, preds, num_classes, background)
+                    return nll, cnt, cc
+
+                nlls, cnts, ccs = jax.lax.map(one, (inputs, labels))
+                loss = jnp.sum(nlls) / jnp.maximum(
+                    jnp.sum(cnts), 1
+                ).astype(jnp.float32)
+                return loss, jnp.sum(ccs, axis=0)
             if use_dropout:
                 rngs = {
                     "dropout": jax.random.fold_in(
@@ -159,18 +187,14 @@ def make_train_step(
             else:
                 logits = apply_fn(params, inputs, train=True,
                                   padded_output=True)
-            loss = cross_entropy_ignore(
-                logits, _match_labels(logits, labels, background), background
-            )
-            return loss, logits
+            lbl = _match_labels(logits, labels, background)
+            loss = cross_entropy_ignore(logits, lbl, background)
+            preds = jnp.argmax(logits, axis=-1)
+            cc = confusion_counts(lbl, preds, num_classes, background)
+            return loss, cc
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, counts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable
-        )
-        preds = jnp.argmax(logits, axis=-1)
-        counts = confusion_counts(
-            _match_labels(logits, labels, background), preds, num_classes,
-            background,
         )
 
         new_buf = jax.tree.map(
@@ -205,6 +229,7 @@ def make_eval_step(
     background: int = -1,
     apply_activation: bool = True,
     final_sigmoid: bool = False,
+    scan_batch: bool = False,
 ):
     """Build the jitted eval step: (params, inputs, labels) -> (loss, counts).
 
@@ -215,20 +240,34 @@ def make_eval_step(
     quirk: the reference's val loss is ``CrossEntropyLoss(activation(logits))``
     where the activation is sigmoid or softmax per the model's
     ``final_sigmoid`` flag (tests/torch_oracle.py:111-124 mirrors the
-    deepsulci contract).
+    deepsulci contract).  ``scan_batch`` as in :func:`make_train_step`.
     """
 
-    def step(params, inputs, labels):
+    def one_volume(params, inputs, labels):
         logits = apply_fn(
             params, inputs, train=False, apply_final_activation=False,
             padded_output=True,
         )
-        labels = _match_labels(logits, labels, background)
+        lbl = _match_labels(logits, labels, background)
         preds = jnp.argmax(logits, axis=-1)
         if apply_activation:
             logits = _final_activation(logits, final_sigmoid)
-        loss = cross_entropy_ignore(logits, labels, background)
-        counts = confusion_counts(labels, preds, num_classes, background)
+        nll, cnt = cross_entropy_sum(logits, lbl, background)
+        counts = confusion_counts(lbl, preds, num_classes, background)
+        return nll, cnt, counts
+
+    def step(params, inputs, labels):
+        if scan_batch and inputs.shape[0] > 1:
+            nlls, cnts, ccs = jax.lax.map(
+                lambda args: one_volume(params, args[0][None], args[1][None]),
+                (inputs, labels),
+            )
+            nll, cnt, counts = (
+                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
+            )
+        else:
+            nll, cnt, counts = one_volume(params, inputs, labels)
+        loss = nll / jnp.maximum(cnt, 1).astype(jnp.float32)
         return loss, counts
 
     return jax.jit(step)
@@ -307,6 +346,7 @@ def make_train_step_dp(
     background: int = -1,
     donate: bool = True,
     use_dropout: bool = False,
+    scan_batch: bool = False,
 ):
     """Data-parallel train step as an explicit shard_map over the mesh's
     'data' axis.
@@ -319,13 +359,33 @@ def make_train_step_dp(
     batch's valid voxels): shards contribute unnormalized NLL sums and
     valid counts, psum'd before the division, so the result is
     bitwise-independent of the device count up to reduction order.
+    ``scan_batch`` scans per-volume forwards when the LOCAL batch still
+    exceeds 1 (global batch > device count) so every volume keeps the
+    batch-1 Pallas pipeline.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def per_shard(state: TrainState, inputs, labels):
+        scan = scan_batch and inputs.shape[0] > 1 and not use_dropout
+
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
+            if scan:
+                def one(args):
+                    xi, lbi = args
+                    logits = apply_fn(params, xi[None], train=True,
+                                      padded_output=True)
+                    lbl = _match_labels(logits, lbi[None], background)
+                    nll, cnt = cross_entropy_sum(logits, lbl, background)
+                    preds = jnp.argmax(logits, axis=-1)
+                    cc = confusion_counts(
+                        lbl, preds, num_classes, background
+                    )
+                    return nll, cnt, cc
+
+                nlls, cnts, ccs = jax.lax.map(one, (inputs, labels))
+                return jnp.sum(nlls), (jnp.sum(cnts), jnp.sum(ccs, axis=0))
             if use_dropout:
                 rngs = {
                     "dropout": jax.random.fold_in(
@@ -339,15 +399,14 @@ def make_train_step_dp(
                 logits = apply_fn(params, inputs, train=True,
                                   padded_output=True)
             lbl = _match_labels(logits, labels, background)
-            mean = cross_entropy_ignore(logits, lbl, background)
-            cnt = jnp.sum((lbl != background).astype(jnp.int32))
-            return mean * cnt, (logits, lbl, cnt)
+            nll, cnt = cross_entropy_sum(logits, lbl, background)
+            preds = jnp.argmax(logits, axis=-1)
+            cc = confusion_counts(lbl, preds, num_classes, background)
+            return nll, (cnt, cc)
 
-        (nll, (logits, lbl, cnt)), grads = jax.value_and_grad(
+        (nll, (cnt, counts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.trainable)
-        preds = jnp.argmax(logits, axis=-1)
-        counts = confusion_counts(lbl, preds, num_classes, background)
 
         nll_g = jax.lax.psum(nll, "data")
         cnt_g = jax.lax.psum(cnt, "data")
@@ -387,14 +446,16 @@ def make_eval_step_dp(
     background: int = -1,
     apply_activation: bool = True,
     final_sigmoid: bool = False,
+    scan_batch: bool = False,
 ):
     """Data-parallel eval step (shard_map twin of make_eval_step): each
     device evaluates its local volume on the Pallas pipeline; NLL sums,
-    valid counts, and confusion counts psum over 'data'."""
+    valid counts, and confusion counts psum over 'data'.  ``scan_batch``
+    as in :func:`make_train_step_dp`."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def per_shard(params, inputs, labels):
+    def one_volume(params, inputs, labels):
         logits = apply_fn(
             params, inputs, train=False, apply_final_activation=False,
             padded_output=True,
@@ -403,10 +464,22 @@ def make_eval_step_dp(
         preds = jnp.argmax(logits, axis=-1)
         if apply_activation:
             logits = _final_activation(logits, final_sigmoid)
-        mean = cross_entropy_ignore(logits, lbl, background)
-        cnt = jnp.sum((lbl != background).astype(jnp.int32))
+        nll, cnt = cross_entropy_sum(logits, lbl, background)
         counts = confusion_counts(lbl, preds, num_classes, background)
-        nll_g = jax.lax.psum(mean * cnt, "data")
+        return nll, cnt, counts
+
+    def per_shard(params, inputs, labels):
+        if scan_batch and inputs.shape[0] > 1:
+            nlls, cnts, ccs = jax.lax.map(
+                lambda args: one_volume(params, args[0][None], args[1][None]),
+                (inputs, labels),
+            )
+            nll, cnt, counts = (
+                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
+            )
+        else:
+            nll, cnt, counts = one_volume(params, inputs, labels)
+        nll_g = jax.lax.psum(nll, "data")
         cnt_g = jax.lax.psum(cnt, "data")
         counts = jax.lax.psum(counts, "data")
         loss = nll_g / jnp.maximum(cnt_g, 1).astype(jnp.float32)

@@ -212,7 +212,7 @@ class SplitConv3(nn.Module):
             ws = list(ws) + [jnp.zeros((1, 1, 27, 8, 8), dt)]
         y, sums = cp.fused_conv_block(
             xs[0], xs[1], abs_[0], abs_[1], ws[0], ws[1], bias,
-            len(vols), g, _pallas_interpret(),
+            None, None, len(vols), g, _pallas_interpret(),
         )
         return y, sums, g
 

@@ -207,24 +207,74 @@ def pack_weights_zcat(wb: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def pack_weights_dyfold(wb: jnp.ndarray):
+    """(Kin, Kout, 27, cs, cso) -> (wac (Kin,Kout,3,3cs,2cso), wb_mid
+    (Kin,Kout,3,3cs,cso)).
+
+    The round-3 dy-fold packing: dz merges into the contraction dim (slab
+    lane-concat order, as :func:`pack_weights_zcat`) and the dy = 0/2 tap
+    columns merge into ONE output-dim pair [A|C] — a (plane, 3cs) @
+    (3cs, 2cso) dot per dx covers them both, doubling MXU column
+    utilization for 64-wide out-shards (the round-2 ceiling: N = cso).
+    The dy = 1 (no row shift) column stays its own dot.  The product's A/C
+    blocks are combined by +-Zp row shifts and one lane roll
+    (``_combine_dy`` in the kernel); Mosaic cannot lane-slice values at
+    sub-tile offsets, which rules out the naive 3cso-wide single dot."""
+    kin, kout, _, cs, cso = wb.shape
+    w = wb.reshape(kin, kout, 3, 3, 3, cs, cso)  # [dx, dy, dz, ci, co]
+    w = w.transpose(0, 1, 2, 4, 5, 3, 6)  # [dx, dz, ci, dy, co]
+    wac = jnp.concatenate([w[..., 0, :], w[..., 2, :]], axis=-1).reshape(
+        kin, kout, 3, 3 * cs, 2 * cso
+    )
+    wmid = w[..., 1, :].reshape(kin, kout, 3, 3 * cs, cso)
+    return wac, wmid
+
+
 # ---------------------------------------------------------------------------
 # forward / plain-conv kernel
 # ---------------------------------------------------------------------------
 
 
-def _norm_plane(src_plane, ab, mask, px, g: Geom, has_affine: bool):
+def _norm_plane(src_plane, ab, mask, px, g: Geom, has_affine: bool,
+                valid=None):
     """(plane, cs) -> fp32-normalized, interior-masked plane (src dtype).
 
     px is the UNCLAMPED plane index: out-of-range halo planes (clamped
     fetches at the volume ends) mask to exact zeros when the affine path
     is active.  Without an affine the input is trusted to be zero on all
-    padding (true for conv outputs of these kernels and for cotangents)."""
+    padding (true for conv outputs of these kernels and for cotangents).
+
+    ``valid`` (spatial-parallel halo mode) overrides the static
+    plane-index check with a runtime per-plane validity scalar: ring
+    planes filled with a neighbor's boundary data are normalized like
+    interior planes (valid = 1), while at the global volume edges the
+    zero ring must NOT get the affine's +b (valid = 0)."""
     if not has_affine:
         return src_plane
     a = ab[0:1, :]
     b = ab[1:2, :]
-    mj = mask * jnp.where((px >= 1) & (px <= g.X), 1.0, 0.0)
+    if valid is not None:
+        mj = mask * valid
+    else:
+        mj = mask * jnp.where((px >= 1) & (px <= g.X), 1.0, 0.0)
     return ((src_plane.astype(jnp.float32) * a + b) * mj).astype(src_plane.dtype)
+
+
+def _combine_dy(ac, b, ps: int, cso: int, zp: int):
+    """Fold a dy-pair product [A|C] (ps, 2cso) plus the middle product B
+    (ps, cso) into the output plane (ps, cso).
+
+    ``y[r] = A[r - zp] + B[r] + C[r + zp]`` with out-of-range rows
+    contributing zero (they correspond to the slab's zero guard rows in
+    the unfolded formulation).  The row shifts happen at the FULL [A|C]
+    width (offset-0 operations Mosaic supports); one lane roll brings the
+    shifted C block to lane 0 (left-by-cso == right-by-cso at width
+    2cso), and a single offset-0 lane slice extracts the sum."""
+    pad2 = jnp.zeros((zp, 2 * cso), ac.dtype)
+    acd = jnp.concatenate([pad2, ac[: ps - zp]], axis=0)  # A[r-zp] @ lane 0
+    acu = jnp.concatenate([ac[zp:], pad2], axis=0)  # C[r+zp] @ lane cso
+    c0 = pltpu.roll(acu, cso, axis=1)
+    return b + (acd + c0)[:, 0:cso]
 
 
 def _build_slab(zcat, ki, si, norm, ps: int, cs: int, sg: int):
@@ -255,18 +305,36 @@ def _fwd_kernel(
     relu: bool,
     stats: bool,
     out_dtype,
+    fold: bool,
+    halo: bool,
+    edge_outputs: bool,
+    has_valid: bool,
 ):
     i = 0
     xnext = refs[i]  # (1, 1, plane, cs) block: incoming plane t+1 (clamped)
     i += 1
+    xcur_ref = None
+    if halo:
+        xcur_ref = refs[i]  # (1, 1, plane, cs) block: plane t (for slab 0)
+        i += 1
     ab_ref = None
     if has_affine:
         ab_ref = refs[i]  # (1, 2, cs)
         i += 1
-    wz_ref = refs[i]  # (1, kout, 3, 3, 3cs, cso)
-    bias_ref = refs[i + 1]  # (kout, 1, cso)
-    mask_ref = refs[i + 2]  # (plane, 1)
-    i += 3
+    valid_ref = None
+    if has_valid:
+        valid_ref = refs[i]  # (Xp,) f32 per-plane input validity (SMEM)
+        i += 1
+    if fold:
+        wac_ref = refs[i]  # (1, kout, 3, 3cs, 2cso): dy = 0/2 pair
+        wmid_ref = refs[i + 1]  # (1, kout, 3, 3cs, cso): dy = 1
+        i += 2
+    else:
+        wz_ref = refs[i]  # (1, kout, 3, 3, 3cs, cso)
+        i += 1
+    bias_ref = refs[i]  # (kout, 1, cso)
+    mask_ref = refs[i + 1]  # (plane, 1)
+    i += 2
     part_ref = None
     if has_partial:
         part_ref = refs[i]  # (kout, 1, plane, cso) block
@@ -274,7 +342,7 @@ def _fwd_kernel(
     y_ref = refs[i]  # (kout, 1, plane, cso) block
     sums_ref = refs[i + 1]  # (kout, 2, cso)
     i += 2
-    zcat, acc, stat_acc = refs[i : i + 3]
+    zcat, acc, acc2, stat_acc = refs[i : i + 4]
 
     t = pl.program_id(0)
     ki = pl.program_id(1)
@@ -289,12 +357,42 @@ def _fwd_kernel(
     def _():  # plane 0 is conv padding: its slab (and all guards) = zeros
         zcat[ki] = jnp.zeros(zcat.shape[1:], zcat.dtype)
 
+    if halo:
+        # spatial-parallel mode: ring plane 0 carries the LEFT neighbor's
+        # boundary plane (zero at the global edge) — build it into slab 0
+        # at grid start so interior plane 1's conv sees the halo
+        @pl.when(t == 0)
+        def _():
+            norm0 = _norm_plane(
+                xcur_ref[0, 0], ab_ref[0] if has_affine else None,
+                mask, 0, g, has_affine,
+                valid=valid_ref[0] if has_valid else None,
+            )
+            _build_slab(zcat, ki, 0, norm0, ps, cs, sg)
+
     # build the incoming plane t+1 into slab (t+1) % 3
+    vnext = (
+        valid_ref[jnp.minimum(t + 1, n_t - 1)] if has_valid else None
+    )
     norm = _norm_plane(xnext[0, 0], ab_ref[0] if has_affine else None,
-                       mask, t + 1, g, has_affine)
+                       mask, t + 1, g, has_affine, valid=vnext)
+    if edge_outputs and not has_affine:
+        # the clamped end fetch (plane Xp -> plane Xp-1) must build as
+        # zeros: ring-plane outputs are real gradients in this mode and
+        # must not read a duplicated plane (the affine path's valid/px
+        # masking handles this on its own)
+        norm = norm * jnp.where(t + 1 <= n_t - 1, 1.0, 0.0).astype(
+            norm.dtype
+        )
     _build_slab(zcat, ki, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
-    border = (t == 0) | (t == n_t - 1)
+    if edge_outputs:
+        # compute every plane including the rings: their values are the
+        # cotangents w.r.t. halo-filled inputs, routed back through the
+        # ppermute's VJP by autodiff (parallel/halo docstring)
+        border = t < 0
+    else:
+        border = (t == 0) | (t == n_t - 1)
 
     def finalize_ko(ko, total, mask_t):
         out = total + bias_ref[ko]
@@ -318,16 +416,41 @@ def _fwd_kernel(
             def _(ko=ko, new=new):
                 stat_acc[ko] += new
 
+    cso = y_ref.shape[-1]
+
+    def dot_rows(si, w):
+        return jax.lax.dot_general(
+            zcat[ki, si, sg : sg + ps, :],
+            w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     @pl.when(jnp.logical_not(border))
     def _():
         # mask covers y/z pad rows; the plane factor zeroes back-pad
         # planes (X < t < Xp-1) that the grid still computes
-        mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
+        mask_t = (
+                mask if edge_outputs
+                else mask * jnp.where(t <= g.X, 1.0, 0.0)
+            )
         for ko in range(kout):
+            if kin == 1 and fold:
+                # single in-shard, dy-folded: 3 pair dots (N = 2cso) + 3
+                # middle dots (N = cso) as values, combined by row shifts
+                # + one lane roll — no accumulator scratch round-trips
+                tac, tb = None, None
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    cac = dot_rows(si, wac_ref[0, ko, dx])
+                    cb = dot_rows(si, wmid_ref[0, ko, dx])
+                    tac = cac if tac is None else tac + cac
+                    tb = cb if tb is None else tb + cb
+                finalize_ko(ko, _combine_dy(tac, tb, ps, cso, g.Zp), mask_t)
+                continue
             if kin == 1:
-                # single in-shard: accumulate the 9 tap-column dots as
-                # values (compiler-managed temporaries / MXU accumulation)
-                # and finalize inline — no accumulator scratch round-trips
+                # single in-shard, wide out-shard (cso == 128): the 9
+                # tap-column dots already run the MXU at full column width
                 total = None
                 for dx in range(3):
                     si = jax.lax.rem(t + 2 + dx, 3)
@@ -341,6 +464,26 @@ def _fwd_kernel(
                         )
                         total = contrib if total is None else total + contrib
                 finalize_ko(ko, total, mask_t)
+                continue
+            # multi-in-shard grids accumulate in scratch across ki
+            if fold:
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    cac = dot_rows(si, wac_ref[0, ko, dx])
+                    cb = dot_rows(si, wmid_ref[0, ko, dx])
+                    if dx == 0:
+                        @pl.when(ki == 0)
+                        def _(ko=ko, cac=cac, cb=cb):
+                            acc[ko] = cac
+                            acc2[ko] = cb
+
+                        @pl.when(ki != 0)
+                        def _(ko=ko, cac=cac, cb=cb):
+                            acc[ko] += cac
+                            acc2[ko] += cb
+                    else:
+                        acc[ko] += cac
+                        acc2[ko] += cb
                 continue
             first = True
             for dx in range(3):
@@ -369,9 +512,19 @@ def _fwd_kernel(
         if kin > 1:
             @pl.when(ki == n_ki - 1)
             def _():
-                mask_t = mask * jnp.where(t <= g.X, 1.0, 0.0)
+                mask_t = (
+                mask if edge_outputs
+                else mask * jnp.where(t <= g.X, 1.0, 0.0)
+            )
                 for ko in range(kout):
-                    finalize_ko(ko, acc[ko], mask_t)
+                    if fold:
+                        finalize_ko(
+                            ko,
+                            _combine_dy(acc[ko], acc2[ko], ps, cso, g.Zp),
+                            mask_t,
+                        )
+                    else:
+                        finalize_ko(ko, acc[ko], mask_t)
 
     @pl.when(border & (ki == n_ki - 1))
     def _():  # outermost pad planes are written as exact zeros
@@ -395,6 +548,9 @@ def conv_shards(
     out_dtype=None,
     partial: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    halo: bool = False,
+    valid_in: Optional[jnp.ndarray] = None,
+    edge_outputs: bool = False,
 ):
     """Run the fused conv over a channel-sharded input.
 
@@ -403,15 +559,32 @@ def conv_shards(
     bias: (Cout,) or None; partial: optional (Kout, Xp, plane, cso)
     pre-activation accumulator added before ReLU/stats.
     Returns (y (Kout, Xp, plane, cso), sums (Kout, 2, cso) f32).
+
+    Spatial-parallel extensions (SURVEY §2.2b; used under shard_map):
+    ``halo`` treats the ring planes 0 / Xp-1 as real neighbor data (the
+    caller fills them via ppermute) and feeds plane 0 into the slab;
+    ``valid_in`` ((Xp,) f32) marks which planes are real (ring validity
+    differs per shard at runtime); ``edge_outputs`` computes outputs at
+    the ring planes too (the dx pass's gradients w.r.t. halo inputs).
     """
     kin, xp, ps, cs = (int(v) for v in x.shape)
     assert xp == g.Xp and ps == g.plane, (x.shape, g)
     kout, cso = int(w.shape[1]), int(w.shape[-1])
     assert w.shape == (kin, kout, 27, cs, cso), (w.shape,)
+    if halo:
+        assert ab is not None, "halo mode normalizes ring planes (pass identity affine)"
+        assert valid_in is not None and valid_in.shape == (xp,), valid_in
+    if halo or edge_outputs:
+        # even local extents leave no slack planes between the right ring
+        # and the buffer end (make_geom: Xp == X + 2)
+        assert g.Xp == g.X + 2, (g, "spatial-parallel slabs need even X")
     out_dtype = out_dtype or x.dtype
     if bias is None:
         bias = jnp.zeros((kout * cso,), jnp.float32)
-    wz = pack_weights_zcat(w)
+    # dy-fold only pays when the out-shard is narrower than the MXU's 128
+    # columns; at cso == 128 the classic 9-dot grid is already full-width
+    # and the fold's roll/shift passes would be pure overhead
+    fold = cso < MAX_SHARD
 
     kern = functools.partial(
         _fwd_kernel,
@@ -423,6 +596,10 @@ def conv_shards(
         relu=relu,
         stats=stats,
         out_dtype=out_dtype,
+        fold=fold,
+        halo=halo,
+        edge_outputs=edge_outputs,
+        has_valid=valid_in is not None,
     )
 
     last = g.Xp - 1
@@ -434,6 +611,15 @@ def conv_shards(
         ),
     ]
     operands = [x]
+    if halo:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, ps, cs),
+                lambda t, ki: (ki, jnp.minimum(t, last), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(x)
     if ab is not None:
         assert ab.shape == (kin, 2, cs), (ab.shape,)
         in_specs.append(
@@ -442,19 +628,40 @@ def conv_shards(
             )
         )
         operands.append(ab.astype(jnp.float32))
+    if valid_in is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(valid_in.astype(jnp.float32))
+    if fold:
+        wac, wmid = pack_weights_dyfold(w)
+        in_specs += [
+            pl.BlockSpec(
+                (1, kout, 3, 3 * cs, 2 * cso),
+                lambda t, ki: (ki, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kout, 3, 3 * cs, cso),
+                lambda t, ki: (ki, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [wac, wmid]
+    else:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, kout, 3, 3, 3 * cs, cso),
+                lambda t, ki: (ki, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(pack_weights_zcat(w))
     in_specs += [
-        pl.BlockSpec(
-            (1, kout, 3, 3, 3 * cs, cso),
-            lambda t, ki: (ki, 0, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
         pl.BlockSpec(
             (kout, 1, cso), lambda t, ki: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((ps, 1), lambda t, ki: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands += [
-        wz,
         bias.reshape(kout, 1, cso).astype(jnp.float32),
         jnp.asarray(g.interior_mask_rows()),
     ]
@@ -499,9 +706,18 @@ def conv_shards(
         ),
         scratch_shapes=[
             pltpu.VMEM((kin, 3, ps + 2 * sg, 3 * cs), x.dtype),
-            # kin == 1 accumulates dots as values; no acc scratch needed
+            # kin == 1 accumulates dots as values; no acc scratch needed.
+            # kin > 1: acc holds the [A|C] pair products (fold) or the
+            # plain tap sums; acc2 holds the dy = 1 products (fold only).
             pltpu.VMEM(
-                (kout, ps, cso) if kin > 1 else (1, 8, 128), jnp.float32
+                (kout, ps, 2 * cso if fold else cso)
+                if kin > 1
+                else (1, 8, 128),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (kout, ps, cso) if (kin > 1 and fold) else (1, 8, 128),
+                jnp.float32,
             ),
             pltpu.VMEM((kout, 2, cso), jnp.float32),
         ],
@@ -521,26 +737,40 @@ def _wgrad_kernel(
     g: Geom,
     kout: int,
     has_affine: bool,
+    fold: bool,
+    halo: bool,
+    has_valid: bool,
 ):
     i = 0
     xnext = refs[i]  # (1, 1, plane, cs) block
     i += 1
+    xcur_ref = None
+    if halo:
+        xcur_ref = refs[i]  # (1, 1, plane, cs) block: plane t
+        i += 1
     ab_ref = None
     if has_affine:
         ab_ref = refs[i]
         i += 1
+    valid_ref = None
+    if has_valid:
+        valid_ref = refs[i]  # (Xp,) f32 (SMEM)
+        i += 1
     dconv_ref = refs[i]  # (kout, 1, plane, cso) block
     mask_ref = refs[i + 1]
     i += 2
-    dw_ref = refs[i]  # (1, kout, 3, 3, 3cs, cso) block
+    dw_ref = refs[i]  # (1,kout,3,3cs,3cso) fold / (1,kout,3,3,3cs,cso)
     i += 1
     zcat = refs[i]  # (1, 3, ps + 2sg, 3cs) rolling slabs (single shard)
+    dp3 = refs[i + 1]  # (ps, 3cso) dy-shifted cotangent (fold only)
 
     ki = pl.program_id(0)
     t = pl.program_id(1)
+    n_t = pl.num_programs(1)
     ps = g.plane
     sg = g.Zp
     cs = xnext.shape[-1]
+    cso = dconv_ref.shape[-1]
     mask = mask_ref[...]
 
     @pl.when(t == 0)
@@ -548,8 +778,21 @@ def _wgrad_kernel(
         zcat[0] = jnp.zeros(zcat.shape[1:], zcat.dtype)
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
+    if halo:
+        @pl.when(t == 0)
+        def _():
+            norm0 = _norm_plane(
+                xcur_ref[0, 0], ab_ref[0] if has_affine else None,
+                mask, 0, g, has_affine,
+                valid=valid_ref[0] if has_valid else None,
+            )
+            _build_slab(zcat, 0, 0, norm0, ps, cs, sg)
+
+    vnext = (
+        valid_ref[jnp.minimum(t + 1, n_t - 1)] if has_valid else None
+    )
     norm = _norm_plane(xnext[0, 0], ab_ref[0] if has_affine else None,
-                       mask, t + 1, g, has_affine)
+                       mask, t + 1, g, has_affine, valid=vnext)
     _build_slab(zcat, 0, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
     # dconv is exactly zero on every pad row/plane (forward mask + ReLU
@@ -557,8 +800,32 @@ def _wgrad_kernel(
     # final border plane) contribute nothing.
     @pl.when(t != 0)
     def _():
+        zp = g.Zp
         for ko in range(kout):
             dplane = dconv_ref[ko, 0]
+            if fold:
+                # dy-fold (round 3): dW[dx, dy] = sum_q zcat[sg+q] (x)
+                # dplane[q - (dy-1)*zp]; shifting the COTANGENT laneward
+                # instead of the slab rows makes one (3cs, 3cso) dot per
+                # dx — N = 3cso vs the round-2 N = cso column ceiling.
+                # Shifted-out rows are zero (they matched slab guard rows
+                # in the unfolded form).
+                zrow = jnp.zeros((zp, cso), dplane.dtype)
+                dp3[:, 0:cso] = jnp.concatenate([dplane[zp:], zrow], axis=0)
+                dp3[:, cso : 2 * cso] = dplane
+                dp3[:, 2 * cso : 3 * cso] = jnp.concatenate(
+                    [zrow, dplane[: ps - zp]], axis=0
+                )
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    contrib = jax.lax.dot_general(
+                        zcat[0, si, sg : sg + ps, :],
+                        dp3[...],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dw_ref[0, ko, dx] += contrib
+                continue
             for dx in range(3):
                 si = jax.lax.rem(t + 2 + dx, 3)
                 for dy in range(3):
@@ -579,17 +846,27 @@ def conv_wgrad_shards(
     *,
     g: Geom,
     interpret: bool = False,
+    halo: bool = False,
+    valid_in: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """dW[ki, ko, tap] = sum_rows xn[ki, row + off(tap)] (x) dconv[ko, row].
 
     x: (Kin, Xp, ps, cs); dconv: (Kout, Xp, ps, cso), zero on pad rows.
-    Returns (Kin, Kout, 27, cs, cso) f32."""
+    Returns (Kin, Kout, 27, cs, cso) f32.  ``halo``/``valid_in`` as in
+    :func:`conv_shards` (dconv rings are zero, so only x's halo planes
+    need the slab-0 build + validity-normalized affine)."""
     kin, xp, ps, cs = (int(v) for v in x.shape)
     kout, cso = int(dconv.shape[0]), int(dconv.shape[-1])
     assert xp == g.Xp and ps == g.plane, (x.shape, g)
+    # same gating rationale as conv_shards: the fold triples N, which only
+    # pays below the MXU's 128-column width
+    fold = cso < MAX_SHARD
+    if halo:
+        assert ab is not None and valid_in is not None
 
     kern = functools.partial(
-        _wgrad_kernel, g=g, kout=kout, has_affine=ab is not None
+        _wgrad_kernel, g=g, kout=kout, has_affine=ab is not None, fold=fold,
+        halo=halo, has_valid=valid_in is not None,
     )
     last = g.Xp - 1
     in_specs = [
@@ -600,6 +877,15 @@ def conv_wgrad_shards(
         ),
     ]
     operands = [x]
+    if halo:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, ps, cs),
+                lambda ki, t: (ki, jnp.minimum(t, last), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(x)
     if ab is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -607,6 +893,9 @@ def conv_wgrad_shards(
             )
         )
         operands.append(ab.astype(jnp.float32))
+    if valid_in is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(valid_in.astype(jnp.float32))
     in_specs += [
         pl.BlockSpec(
             (kout, 1, ps, cso),
@@ -618,22 +907,44 @@ def conv_wgrad_shards(
     operands += [dconv, jnp.asarray(g.interior_mask_rows())]
 
     sg = g.Zp
+    if fold:
+        out_spec = pl.BlockSpec(
+            (1, kout, 3, 3 * cs, 3 * cso),
+            lambda ki, t: (ki, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (kin, kout, 3, 3 * cs, 3 * cso), jnp.float32
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, kout, 3, 3, 3 * cs, cso),
+            lambda ki, t: (ki, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (kin, kout, 3, 3, 3 * cs, cso), jnp.float32
+        )
     dwz = pl.pallas_call(
         kern,
         grid=(kin, g.Xp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, kout, 3, 3, 3 * cs, cso),
-            lambda ki, t: (ki, 0, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (kin, kout, 3, 3, 3 * cs, cso), jnp.float32
-        ),
-        scratch_shapes=[pltpu.VMEM((1, 3, ps + 2 * sg, 3 * cs), x.dtype)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, 3, ps + 2 * sg, 3 * cs), x.dtype),
+            pltpu.VMEM(
+                (ps, 3 * cso) if fold else (8, 128), dconv.dtype
+            ),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
+    if fold:
+        # (dx, dz*cs + ci, dy*cso + co) -> (dx, dy, dz, ci, co)
+        dwz = dwz.reshape(kin, kout, 3, 3, cs, 3, cso).transpose(
+            0, 1, 2, 5, 3, 4, 6
+        )
     return dwz.reshape(kin, kout, 3, 3, 3, cs, cso).reshape(
         kin, kout, 27, cs, cso
     )
@@ -644,9 +955,9 @@ def conv_wgrad_shards(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
-                     interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
+                     n_inputs, g, interpret=False, halo=False):
     """relu(conv3x3x3(mask*(a*x + b), W) + bias) with GN stat sums, fused.
 
     x_i: (Kin_i, Xp, plane, cs_i) padded shard buffers; ab_i:
@@ -658,13 +969,25 @@ def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
     ignored dummies otherwise.  Returns (y (Kout, Xp, plane, cso),
     sums (Kout, 2, cso) f32) where sums hold per-channel sum /
     sum-of-squares of y over the padded volume (== interior: padding is
-    exactly zero)."""
-    y, sums = _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g,
-                         interpret)[0]
+    exactly zero).
+
+    ``halo`` (spatial parallel): x_i's ring planes carry neighbor halo
+    data and valid_i ((Xp,) f32) marks per-plane validity; the backward
+    emits ring-plane dx so autodiff routes halo gradients back through
+    the caller's ppermute.  valid_i are None outside halo mode."""
+    y, sums = _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
+                         n_inputs, g, interpret, halo)[0]
     return y, sums
 
 
-def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret):
+def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, n_inputs, g,
+               interpret, halo):
+    def call(xb, abb, wb, vb, b, partial_, stats):
+        return conv_shards(
+            xb, abb, wb, b, g=g, relu=stats, stats=stats, partial=partial_,
+            interpret=interpret, halo=halo, valid_in=vb,
+        )
+
     if n_inputs == 2:
         # the WIDER branch computes the partial: the finalizing call then
         # has the smaller slab working set, so the extra partial block
@@ -672,24 +995,18 @@ def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret):
         # full-res decoder pair the other way around)
         first, second = (0, 1) if x1.shape[-1] >= x2.shape[-1] else (1, 0)
         xs, abs_, ws = (x1, x2), (ab1, ab2), (w1, w2)
-        p, _ = conv_shards(
-            xs[first], abs_[first], ws[first], None, g=g, relu=False,
-            stats=False, interpret=interpret,
-        )
-        y, sums = conv_shards(
-            xs[second], abs_[second], ws[second], bias, g=g, relu=True,
-            stats=True, partial=p, interpret=interpret,
-        )
+        vs = (valid1, valid2)
+        p, _ = call(xs[first], abs_[first], ws[first], vs[first], None,
+                    None, False)
+        y, sums = call(xs[second], abs_[second], ws[second], vs[second],
+                       bias, p, True)
     else:
-        y, sums = conv_shards(
-            x1, ab1, w1, bias, g=g, relu=True, stats=True,
-            interpret=interpret,
-        )
-    return (y, sums), (x1, x2, ab1, ab2, w1, w2, y)
+        y, sums = call(x1, ab1, w1, valid1, bias, None, True)
+    return (y, sums), (x1, x2, ab1, ab2, w1, w2, valid1, valid2, y)
 
 
-def _fused_bwd(n_inputs, g, interpret, res, cts):
-    x1, x2, ab1, ab2, w1, w2, y = res
+def _fused_bwd(n_inputs, g, interpret, halo, res, cts):
+    x1, x2, ab1, ab2, w1, w2, valid1, valid2, y = res
     dy, dsums = cts
 
     # cotangent through ReLU + the stat sums (one fused elementwise pass):
@@ -705,38 +1022,56 @@ def _fused_bwd(n_inputs, g, interpret, res, cts):
 
     dbias = jnp.sum(dconv.astype(jnp.float32), axis=(1, 2)).reshape(-1)
 
-    mask = jnp.asarray(_interior_mask_3d(g))  # (1, Xp, ps, 1)
+    rows = jnp.asarray(_interior_mask_3d(g))  # (1, Xp, ps, 1)
 
-    def branch_grads(xb, abb, wb):
-        dwb = conv_wgrad_shards(xb, abb, dconv, g=g, interpret=interpret)
+    def branch_grads(xb, abb, wb, vb):
+        dwb = conv_wgrad_shards(
+            xb, abb, dconv, g=g, interpret=interpret, halo=halo, valid_in=vb
+        )
         wt = mirror_transpose_shards(wb)
         dxn, _ = conv_shards(
             dconv, None, wt, None, g=g, relu=False, stats=False,
-            out_dtype=y.dtype, interpret=interpret,
+            out_dtype=y.dtype, interpret=interpret, edge_outputs=halo,
         )  # (Kin_b, Xp, ps, cs_b)
-        # d(affine) + dx: only interior rows count for the reductions —
-        # dxn rows in the pad ring carry real-but-discarded gradients.
+        # d(affine) + dx: only VALID rows count for the reductions — in
+        # halo mode the affine was also applied to neighbor data in the
+        # valid ring planes (a distinct application from the neighbor's
+        # own), so those contributions belong in this shard's da/db.
+        if halo:
+            row_mask = jnp.asarray(
+                g.interior_mask_rows().reshape(1, 1, g.plane, 1)
+            )
+            mask = row_mask * vb.astype(jnp.float32)[None, :, None, None]
+        else:
+            mask = rows
         a = abb[:, 0:1, :][:, None, :, :]  # (Kin_b, 1, 1, cs_b)
         dxb = (dxn.astype(jnp.float32) * a).astype(xb.dtype)
         dxn_m = dxn.astype(jnp.float32) * mask
         da = jnp.sum(xb.astype(jnp.float32) * dxn_m, axis=(1, 2))
         db = jnp.sum(dxn_m, axis=(1, 2))
         dab = jnp.stack([da, db], axis=1).astype(abb.dtype)
+        if halo:
+            # dxb at INVALID planes must be zero (their input was ignored)
+            dxb = dxb * vb.astype(dxb.dtype)[None, :, None, None]
         return dxb, dab, dwb.astype(wb.dtype)
 
-    dx1, dab1, dw1 = branch_grads(x1, ab1, w1)
+    dx1, dab1, dw1 = branch_grads(x1, ab1, w1, valid1)
     if n_inputs == 2:
-        dx2, dab2, dw2 = branch_grads(x2, ab2, w2)
+        dx2, dab2, dw2 = branch_grads(x2, ab2, w2, valid2)
     else:
         dx2 = jnp.zeros_like(x2)
         dab2 = jnp.zeros_like(ab2)
         dw2 = jnp.zeros_like(w2)
-    return dx1, dx2, dab1, dab2, dw1, dw2, dbias.astype(jnp.float32)
+    dv1 = None if valid1 is None else jnp.zeros_like(valid1)
+    dv2 = None if valid2 is None else jnp.zeros_like(valid2)
+    return dx1, dx2, dab1, dab2, dw1, dw2, dbias.astype(jnp.float32), dv1, dv2
 
 
 fused_conv_block.defvjp(
-    lambda x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret=False:
-        _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, n_inputs, g, interpret),
+    lambda x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, n_inputs, g,
+        interpret=False, halo=False:
+        _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
+                   n_inputs, g, interpret, halo),
     _fused_bwd,
 )
 

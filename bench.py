@@ -212,9 +212,11 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
         out_channels=out_ch,
         init_channel_number=init_ch,
         compute_dtype=jnp.float32 if on_cpu else jnp.bfloat16,
-        # pure DP benches the production shard_map path: each device's
-        # local batch-1 volume runs the fused Pallas pipeline
-        pallas_blocks=sp <= 1,
+        # both mesh shapes bench the production shard_map paths: pure DP
+        # runs each device's local batch-1 volume on the fused Pallas
+        # pipeline; space>1 runs the spatially-sharded Pallas pipeline
+        # (sp_axis halo kernels, parallel/sp_pallas.py)
+        pallas_blocks=True,
     )
     rng = np.random.default_rng(0)
     batch = max(dp, 1)
@@ -224,7 +226,15 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
         jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=True
     )["params"]
     apply_fn = make_apply_fn(model)
-    if sp <= 1 and dp > 1:
+    if sp > 1:
+        from unetsulc_tpu.train.step import make_train_step_sp
+
+        step = make_train_step_sp(
+            make_apply_fn(model.clone(sp_axis="space")),
+            num_classes=out_ch, mesh=mesh, momentum=0.9, donate=False,
+            scan_batch=True,
+        )
+    elif dp > 1:
         step = make_train_step_dp(
             apply_fn, num_classes=out_ch, mesh=mesh, momentum=0.9,
             donate=False,
@@ -245,7 +255,8 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
     if equivalence:
         ref_state = TrainState.create(params, lr=0.01)
         ref_step = make_train_step(
-            apply_fn, num_classes=out_ch, momentum=0.9, donate=False
+            apply_fn, num_classes=out_ch, momentum=0.9, donate=False,
+            scan_batch=sp > 1,
         )
         _, ref_loss, _ = ref_step(
             ref_state, jax.device_put(jnp.asarray(inputs)),

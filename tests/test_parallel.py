@@ -339,3 +339,138 @@ def test_shardmap_dp_step_matches_single_device_pallas():
     l1, c1 = ev1(params, x, labels)
     assert abs(float(l0) - float(l1)) < 1e-5
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def _sp_pallas_setup(batch=1, size=16, seed=3):
+    """Tiny fp32 Pallas-pipeline model + batch for sp equivalence tests.
+
+    f32 compute keeps interpret-mode kernels exact, so sp-vs-single
+    comparisons isolate the collectives (ring halos, GN-stat psums,
+    all_gather middle, row-sliced resize), not dtype noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.models.unet3d import UNet3D
+    from unetsulc_tpu.train.step import TrainState
+
+    model = UNet3D(in_channels=1, out_channels=3, init_channel_number=8,
+                   compute_dtype=jnp.float32, pallas_blocks=True)
+    rng = np.random.default_rng(seed)
+    inputs = (rng.random((batch, size, size, size, 1)) < 0.1).astype(
+        np.float32
+    )
+    labels = np.where(
+        inputs[..., 0] > 0,
+        rng.integers(0, 3, (batch, size, size, size)),
+        -1,
+    ).astype(np.int32)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), train=True
+    )["params"]
+    state = TrainState.create(params, lr=0.05)
+    return model, state, inputs, labels
+
+
+def test_sp_pallas_full_model_equivalence():
+    """The spatially-sharded Pallas pipeline (sp_axis model inside
+    make_train_step_sp: halo-mode kernels on local slabs, psum'd GN stats,
+    replicated middle, row-sliced decoder-2 resize) reproduces the
+    single-device Pallas step exactly — losses, confusion counts, and the
+    multi-step parameter trajectory (VERDICT r2 item 2: SP must not
+    forfeit the fused pipeline)."""
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import (
+        make_eval_step,
+        make_eval_step_sp,
+        make_train_step,
+        make_train_step_sp,
+    )
+
+    model, state, inputs, labels = _sp_pallas_setup()
+    step1 = make_train_step(make_apply_fn(model), num_classes=3,
+                            donate=False)
+    losses_1, counts_1, params_1 = _run_steps(state, step1, inputs, labels)
+    ev1 = make_eval_step(make_apply_fn(model), num_classes=3)
+    el1, ec1 = ev1(state.params, inputs, labels)
+
+    # sp=4 exercises BOTH shard kinds in one run: devices 0/3 are volume
+    # edges (zero ring = conv padding), 1/2 are interior (both rings
+    # halo-filled); sp=2 would cover only the edge kind
+    for sp in (4,):
+        mesh = make_mesh(data=1, space=sp)
+        sp_apply = make_apply_fn(model.clone(sp_axis="space"))
+        step2 = make_train_step_sp(sp_apply, num_classes=3, mesh=mesh,
+                                   donate=False)
+        bs = batch_sharding(mesh)
+        state_d = jax.device_put(state, replicate(mesh))
+        in_d = jax.device_put(jnp.asarray(inputs), bs)
+        lb_d = jax.device_put(jnp.asarray(labels), bs)
+        losses_2, counts_2, params_2 = _run_steps(
+            state_d, step2, in_d, lb_d
+        )
+        np.testing.assert_allclose(losses_1, losses_2, rtol=1e-5)
+        np.testing.assert_array_equal(counts_1, counts_2)
+        for a, b in zip(params_1, params_2):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+        ev2 = make_eval_step_sp(sp_apply, num_classes=3, mesh=mesh)
+        el2, ec2 = ev2(state_d.params, in_d, lb_d)
+        np.testing.assert_allclose(float(el1), float(el2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ec1), np.asarray(ec2))
+
+
+def test_sp_pallas_dp_combined_scan_batch():
+    """(data=2, space=2) with global batch 4 (local batch 2 -> lax.map
+    scan): DP grad psums, SP halo/GN collectives, and the per-volume scan
+    compose to the single-device scan-batch step's numbers."""
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import (
+        make_train_step,
+        make_train_step_sp,
+    )
+
+    model, state, inputs, labels = _sp_pallas_setup(batch=4)
+    step1 = make_train_step(make_apply_fn(model), num_classes=3,
+                            donate=False, scan_batch=True)
+    losses_1, counts_1, params_1 = _run_steps(
+        state, step1, inputs, labels, n=1
+    )
+
+    mesh = make_mesh(data=2, space=2)
+    sp_apply = make_apply_fn(model.clone(sp_axis="space"))
+    step2 = make_train_step_sp(sp_apply, num_classes=3, mesh=mesh,
+                               donate=False, scan_batch=True)
+    bs = batch_sharding(mesh)
+    state_d = jax.device_put(state, replicate(mesh))
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+    losses_2, counts_2, params_2 = _run_steps(state_d, step2, in_d, lb_d,
+                                              n=1)
+    np.testing.assert_allclose(losses_1, losses_2, rtol=1e-5)
+    np.testing.assert_array_equal(counts_1, counts_2)
+    for a, b in zip(params_1, params_2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_cached_steps_pick_sp_pallas():
+    """_cached_steps routes spatial>1 to the sp shard_map steps when the
+    model is pipeline-eligible and the backend allows it (sp_cpu on the
+    CPU test mesh), and the returned steps run."""
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.method.training import _cached_steps
+    from unetsulc_tpu.train.step import TrainState
+
+    model, state, inputs, labels = _sp_pallas_setup()
+    train_step, eval_step = _cached_steps(
+        model, 3, 0.9, dp=1, spatial=2, sp_cpu=True
+    )
+    mesh = make_mesh(data=1, space=2)
+    bs = batch_sharding(mesh)
+    state_d = jax.device_put(state, replicate(mesh))
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+    state_d, loss, counts = train_step(state_d, in_d, lb_d)
+    assert np.isfinite(float(loss))
+    el, ec = eval_step(state_d.params, in_d, lb_d)
+    assert np.isfinite(float(el))

@@ -126,6 +126,12 @@ class TpuConfig:
     # (bit-exact, test_pallas_remat_grads_bit_exact); auto-disabled for
     # any ineligible input shape
     pallas_blocks: bool = True
+    # allow the spatially-sharded Pallas steps on the CPU (interpret-mode)
+    # backend.  Off by default: interpret mode emulates the kernels
+    # op-by-op, which only tiny test volumes can afford — real CPU runs
+    # with spatial_parallel > 1 keep the pjit auto-SPMD XLA path.  Tests
+    # flip this to exercise the sp shard_map wiring on the virtual mesh.
+    sp_pallas_cpu: bool = False
     # host->device prefetch depth
     prefetch: int = 2
     # reference parity: rebuild optimizer (reset momentum) on lr division

@@ -188,14 +188,13 @@ class SulciLabeller:
                 else jnp.float32
             ),
             remat=self.tpu.remat,
-            # Pallas pipeline: not under spatial pjit sharding (the kernels
-            # are single-device; DP is safe — its global batch > 1 fails
-            # per-input eligibility and falls back).  remat composes:
-            # nn.remat replays the kernels over the PallasVol pytree
-            # (bit-exact, tests/test_pallas.py)
-            pallas_blocks=(
-                self.tpu.pallas_blocks and self.tpu.spatial_parallel <= 1
-            ),
+            # Pallas pipeline: DP runs it per-device via the shard_map
+            # steps; spatial sharding via the sp_axis clone inside
+            # make_train_step_sp (parallel/sp_pallas.py halo exchange) —
+            # the _cached_steps builder picks the right variant.  remat
+            # composes: nn.remat replays the kernels over the PallasVol
+            # pytree (bit-exact, tests/test_pallas.py)
+            pallas_blocks=self.tpu.pallas_blocks,
         )
         kw.update(over)
         return UNet3D(**kw)

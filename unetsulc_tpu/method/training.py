@@ -25,6 +25,7 @@ import time
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from unetsulc_tpu.data.dataset import SulciDataset
@@ -49,7 +50,7 @@ import os
 
 @functools.lru_cache(maxsize=32)
 def _cached_steps(model_def, num_classes: int, momentum: float,
-                  dp: int = 1, spatial: int = 1):
+                  dp: int = 1, spatial: int = 1, sp_cpu: bool = False):
     """One (train_step, eval_step) pair per (model config, mesh shape).
 
     flax modules are frozen (hashable) dataclasses, so this memoizes the
@@ -76,6 +77,44 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
         and model_def.interpolate
         and model_def.conv_layer_order == "crg"
     )
+
+    # static half of the model's _pallas_eligible: f32 compute on real TPU
+    # hardware and unshardable channel widths must keep the XLA path (the
+    # sp_axis model RAISES rather than silently falling back).  Off-TPU
+    # the interpret-mode kernels only suit tiny test volumes, so the sp
+    # Pallas path is opt-in there (TpuConfig.sp_pallas_cpu).
+    sp_eligible = scan_batch and (
+        model_def.compute_dtype != jnp.float32
+        or jax.default_backend() != "tpu"
+    ) and model_def._shard_widths_ok() and (
+        jax.default_backend() == "tpu" or sp_cpu
+    )
+
+    if spatial > 1 and sp_eligible:
+        # spatial sharding on the fused Pallas pipeline: the model clone
+        # with sp_axis='space' runs halo-mode kernels on local slabs
+        # inside shard_map (parallel/sp_pallas.py; VERDICT r2 item 2).
+        # scan_batch here doubles as the pipeline-eligibility predicate —
+        # ineligible configs (f32-on-TPU, dropout, interpolate=False)
+        # keep the pjit auto-SPMD XLA path below.
+        from unetsulc_tpu.parallel.mesh import make_mesh
+        from unetsulc_tpu.train.step import (
+            make_eval_step_sp,
+            make_train_step_sp,
+        )
+
+        mesh = make_mesh(data=dp, space=spatial)
+        sp_apply = make_apply_fn(model_def.clone(sp_axis="space"))
+        return (
+            make_train_step_sp(
+                sp_apply, num_classes, mesh, momentum=momentum,
+                scan_batch=True,
+            ),
+            make_eval_step_sp(
+                sp_apply, num_classes, mesh,
+                final_sigmoid=model_def.final_sigmoid, scan_batch=True,
+            ),
+        )
 
     if dp > 1 and spatial <= 1:
         from unetsulc_tpu.parallel.mesh import make_mesh
@@ -292,6 +331,7 @@ class TrainingSulciLabeller(SulciLabeller):
         train_step, eval_step = _cached_steps(
             self.model_def, num_classes, momentum,
             dp=dp, spatial=self.tpu.spatial_parallel,
+            sp_cpu=self.tpu.sp_pallas_cpu,
         )
         state = self._state
 

@@ -136,6 +136,11 @@ class SplitConv3(nn.Module):
 
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # spatial parallel (parallel/sp_pallas.py): mesh axis name over which
+    # the volume X axis is sharded; conv inputs then carry neighbor halo
+    # planes exchanged with one ppermute per input and the kernels run in
+    # halo mode
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -158,6 +163,13 @@ class SplitConv3(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         if dense_entry:
+            if self.sp_axis is not None:
+                from unetsulc_tpu.parallel.sp_pallas import ring_planes_5d
+
+                return cp.conv3d_dense_entry(
+                    ring_planes_5d(x.x5, self.sp_axis), kernel, bias,
+                    self.compute_dtype, ring=True,
+                )
             return cp.conv3d_dense_entry(
                 x.x5, kernel, bias, self.compute_dtype
             )
@@ -193,7 +205,10 @@ class SplitConv3(nn.Module):
         Returns (y_buf, sums, g): the raw post-ReLU output shards and the
         per-channel stat sums the caller turns into the next lazy GN
         affine.  Each branch keeps its natural shard width; pending input
-        affines are consumed inside the kernel."""
+        affines are consumed inside the kernel.  With ``sp_axis`` set the
+        inputs are local slabs: their ring planes are filled from the
+        neighbor shards (one ppermute each) and the kernels run in halo
+        mode — the returned sums are still LOCAL (the caller psums)."""
         g = vols[0].g
         assert all(v.g == g for v in vols), [v.g for v in vols]
         cins = [v.channels for v in vols]
@@ -205,14 +220,25 @@ class SplitConv3(nn.Module):
             for v in vols
         ]
         xs = [v.buf for v in vols]
+        halo = self.sp_axis is not None
+        if halo:
+            from unetsulc_tpu.parallel.sp_pallas import ring_fill
+
+            filled = [ring_fill(xb, self.sp_axis) for xb in xs]
+            xs = [f[0] for f in filled]
+            valids = [f[1] for f in filled]
+        else:
+            valids = [None for _ in xs]
         if len(vols) == 1:
             dt = xs[0].dtype
             xs = xs + [jnp.zeros((1, 2, 16, 8), dt)]
             abs_ = abs_ + [jnp.zeros((1, 2, 8), jnp.float32)]
             ws = list(ws) + [jnp.zeros((1, 1, 27, 8, 8), dt)]
+            valids = valids + [jnp.ones((2,), jnp.float32) if halo else None]
         y, sums = cp.fused_conv_block(
             xs[0], xs[1], abs_[0], abs_[1], ws[0], ws[1], bias,
-            None, None, len(vols), g, _pallas_interpret(),
+            valids[0], valids[1], len(vols), g, _pallas_interpret(),
+            halo,
         )
         return y, sums, g
 
@@ -239,6 +265,7 @@ class DoubleConv(nn.Module):
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
+    sp_axis: Optional[str] = None
 
     def _block_pallas(self, x, pos: int, out_channels: int) -> "PallasVol":
         """One fused 'crg' unit on the Pallas pipeline.
@@ -247,7 +274,12 @@ class DoubleConv(nn.Module):
         (1,X,Y,Z,C) array input (the tiny in_channels->mid first conv,
         whose shard width would underfeed the MXU) runs the XLA conv +
         ReLU and enters the pipeline here.  Either way GroupNorm becomes
-        the lazy affine carried by the returned PallasVol."""
+        the lazy affine carried by the returned PallasVol.
+
+        With ``sp_axis`` the convs run in spatial-parallel halo mode and
+        the GroupNorm statistics go GLOBAL: the per-shard stat sums psum
+        over the space axis before the affine forms, so normalization is
+        the same computation as single-device up to reduction order."""
         if isinstance(x, jnp.ndarray):
             if x.shape[-1] <= 8:
                 # dense 27*cin-contraction entry conv: the XLA channels-last
@@ -256,9 +288,13 @@ class DoubleConv(nn.Module):
                 y_buf, sums, g = SplitConv3(
                     features=out_channels,
                     compute_dtype=self.compute_dtype,
+                    sp_axis=self.sp_axis,
                     name=f"conv{pos}",
                 )(cp.DenseEntry(x))
             else:
+                assert self.sp_axis is None, (
+                    "spatial-parallel entry requires the dense-entry path"
+                )
                 y = SplitConv3(
                     features=out_channels,
                     compute_dtype=self.compute_dtype,
@@ -272,6 +308,7 @@ class DoubleConv(nn.Module):
             y_buf, sums, g = SplitConv3(
                 features=out_channels,
                 compute_dtype=self.compute_dtype,
+                sp_axis=self.sp_axis,
                 name=f"conv{pos}",
             )(x)
         scale = self.param(
@@ -282,8 +319,12 @@ class DoubleConv(nn.Module):
             f"norm{pos}_bias", nn.initializers.zeros, (out_channels,),
             jnp.float32,
         )
+        count = g.voxels
+        if self.sp_axis is not None:
+            sums = jax.lax.psum(sums, self.sp_axis)
+            count = g.voxels * jax.lax.axis_size(self.sp_axis)
         aff = cp.gn_affine_from_sums(
-            sums, scale, bias, pick_num_groups(out_channels), g.voxels
+            sums, scale, bias, pick_num_groups(out_channels), count
         )
         return PallasVol(y_buf, aff, g)
 
@@ -346,9 +387,14 @@ class Encoder(nn.Module):
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.sp_axis is None or not self.pool, (
+            "spatial-parallel encoders are pool-free (level 0 only; the "
+            "middle levels run replicated, models/unet3d.py sp partition)"
+        )
         if self.pool:
             if isinstance(x, PallasVol):
                 # buffer-native pool: consumes the pending GN affine (max
@@ -367,6 +413,7 @@ class Encoder(nn.Module):
             self.order,
             compute_dtype=self.compute_dtype,
             pallas=self.pallas,
+            sp_axis=self.sp_axis,
             name="double_conv",
         )(x)
 
@@ -429,6 +476,7 @@ class Decoder(nn.Module):
     order: str = "crg"
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -461,9 +509,19 @@ class Decoder(nn.Module):
             # output voxel), so resize the RAW buffer and keep the lazy GN
             # affine pending into the pair conv
             gt = encoder_features.g
-            up5 = resize_trilinear(
-                cp.unpad_from_geom(x.buf, x.g), (gt.X, gt.Y, gt.Z)
-            )
+            if self.sp_axis is not None:
+                # x is the REPLICATED middle output; each device computes
+                # only its slab of the full-resolution upsample (the X
+                # interpolation matrix is row-sliced per shard)
+                from unetsulc_tpu.parallel.sp_pallas import sp_resize_to_slab
+
+                up5 = sp_resize_to_slab(
+                    cp.unpad_from_geom(x.buf, x.g), gt, self.sp_axis
+                )
+            else:
+                up5 = resize_trilinear(
+                    cp.unpad_from_geom(x.buf, x.g), (gt.X, gt.Y, gt.Z)
+                )
             up = PallasVol(cp.pad_to_geom(up5, gt), x.aff, gt)
             return DoubleConv(
                 self.in_channels,
@@ -471,6 +529,7 @@ class Decoder(nn.Module):
                 self.order,
                 compute_dtype=self.compute_dtype,
                 pallas=True,
+                sp_axis=self.sp_axis,
                 name="double_conv",
             )((encoder_features, up))
         target = encoder_features.shape[1:4]
@@ -628,6 +687,14 @@ class UNet3D(nn.Module):
     # fallback otherwise — eval/labeling on the same model definition must
     # keep working for any input.
     pallas_blocks: Optional[bool] = None
+    # spatial parallelism (SURVEY.md §2.2b, parallel/sp_pallas.py): name of
+    # the mesh axis over which the input's X axis is sharded.  The forward
+    # then runs the Pallas pipeline on local slabs: level 0 (encoder 0,
+    # decoder 2's pair convs, head) sharded with halo exchange, the middle
+    # levels replicated on the all-gathered volume.  Must only be set on
+    # the model used INSIDE shard_map (train/step.py make_train_step_sp) —
+    # it requires the axis to be bound and the Pallas pipeline eligible.
+    sp_axis: Optional[str] = None
 
     def _shard_widths_ok(self) -> bool:
         """Every channel count the pipeline shards must satisfy
@@ -688,6 +755,16 @@ class UNet3D(nn.Module):
         ]
         x = x.astype(self.compute_dtype)
         pallas = self._pallas_eligible(x)
+        sp = self.sp_axis
+        if sp is not None and not self.is_initializing() and not pallas:
+            raise ValueError(
+                "sp_axis (spatial parallelism) requires the fused Pallas "
+                "pipeline: batch 1 per shard, dropout 0, 'crg', "
+                f"interpolate, bf16; got input {x.shape} on model "
+                f"{self.init_channel_number}ch — the caller "
+                "(train/step.py make_train_step_sp) must not build an SP "
+                "step for ineligible configs"
+            )
         enc_cls = nn.remat(Encoder) if self.remat else Encoder
         dec_cls = nn.remat(Decoder) if self.remat else Decoder
         skips = []
@@ -699,11 +776,22 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
+                sp_axis=sp if n == 0 else None,
                 name=f"encoders_{n}",
             )(x)
             if self.dropout > 0:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
             skips.insert(0, x)
+            if n == 0 and sp is not None and pallas:
+                # the skip for decoder 2 stays the LOCAL slab; the middle
+                # levels (encoders 1-3, decoders 0-1) run replicated on the
+                # all-gathered full volume — their post-pool extents are
+                # odd and would need uneven slabs (parallel/sp_pallas.py
+                # partition plan)
+                from unetsulc_tpu.parallel.sp_pallas import sp_gather
+
+                buf, gg = sp_gather(x.buf, x.g, sp)
+                x = PallasVol(buf, x.aff, gg)
         skips = skips[1:]  # deepest output is the decoder input, not a skip
 
         dec_chans = [
@@ -719,6 +807,7 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
+                sp_axis=sp if n == 2 else None,
                 name=f"decoders_{n}",
             )(skip, x)
 

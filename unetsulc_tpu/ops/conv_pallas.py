@@ -1154,18 +1154,34 @@ def conv3d_dense_entry(
     kernel: jnp.ndarray,
     bias: jnp.ndarray,
     compute_dtype,
+    ring: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Geom]:
     """relu(conv3x3x3(x5, kernel) + bias) directly into buffer layout.
 
     Builds the 27-tap shifted lane stack of the zero-ring-padded volume
     (one fused pad+slice pass) and contracts (rows, 27*cin) @ (27*cin,
     cout) on the MXU.  Returns (buf (1, Xp, plane, cout), stat sums
-    (K, 2, cs) f32, geom) — the standard pipeline entry triple."""
+    (K, 2, cs) f32, geom) — the standard pipeline entry triple.
+
+    ``ring`` (spatial parallel): x5's first/last x-planes are neighbor
+    halo data (the caller's ppermute exchange; zeros at the global volume
+    edges, where a zero ring IS the conv's padding) rather than interior
+    volume — they are placed in the padded buffer's ring rows so interior
+    outputs see their true neighbors, and the output/stats cover only the
+    (X-2)-plane local slab."""
     _, X, Y, Z, cin = x5.shape
     cout = kernel.shape[-1]
-    g = make_geom(X, Y, Z)
-    buf = pad_to_geom(x5.astype(compute_dtype), g, cs=cin)
-    p = buf[0]  # (Xp, plane, cin), zero ring included
+    if ring:
+        g = make_geom(X - 2, Y, Z)
+        assert g.Xp == X, (g, x5.shape)  # even slabs: Xp == S + 2
+        p = jnp.pad(
+            x5[0].astype(compute_dtype),
+            ((0, 0), (1, g.Yp - Y - 1), (1, g.Zp - Z - 1), (0, 0)),
+        ).reshape(g.Xp, g.plane, cin)
+    else:
+        g = make_geom(X, Y, Z)
+        buf = pad_to_geom(x5.astype(compute_dtype), g, cs=cin)
+        p = buf[0]  # (Xp, plane, cin), zero ring included
     roff = g.Zp + 1
     pp = jnp.pad(p, ((1, 1), (roff, roff), (0, 0)))
     taps = []

@@ -439,6 +439,149 @@ def make_train_step_dp(
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_sp(
+    apply_fn: Callable,
+    num_classes: int,
+    mesh,
+    momentum: float = 0.9,
+    background: int = -1,
+    donate: bool = True,
+    scan_batch: bool = False,
+):
+    """Spatially-sharded (optionally x data-parallel) Pallas train step.
+
+    shard_map over BOTH mesh axes: the batch over 'data', the volume X
+    axis over 'space'.  ``apply_fn`` must close over a model with
+    ``sp_axis='space'`` (models/unet3d.py): inside, each device runs the
+    fused Pallas kernels on its local slab with ppermute halo exchange,
+    psum'd GroupNorm statistics, and a replicated middle — so the fused
+    pipeline survives spatial sharding (VERDICT r2 item 2; the pjit
+    auto-SPMD path falls back to XLA convs).  Per-shard NLL sums / valid
+    counts / confusion counts and grads psum over both axes, making loss
+    and update bitwise-independent of the mesh shape up to reduction
+    order (the test_parallel.py equivalence pattern).
+
+    No ``use_dropout``: dropout is Pallas-ineligible and the model raises
+    on sp_axis without the pipeline.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = ("data", "space")
+
+    def per_shard(state: TrainState, inputs, labels):
+        scan = scan_batch and inputs.shape[0] > 1
+
+        def one(params, xi, lbi):
+            logits = apply_fn(params, xi, train=True, padded_output=True)
+            lbl = _match_labels(logits, lbi, background)
+            nll, cnt = cross_entropy_sum(logits, lbl, background)
+            preds = jnp.argmax(logits, axis=-1)
+            cc = confusion_counts(lbl, preds, num_classes, background)
+            return nll, cnt, cc
+
+        def loss_fn(trainable):
+            params = freeze.merge(trainable, state.frozen)
+            if scan:
+                nlls, cnts, ccs = jax.lax.map(
+                    lambda args: one(params, args[0][None], args[1][None]),
+                    (inputs, labels),
+                )
+                return jnp.sum(nlls), (jnp.sum(cnts), jnp.sum(ccs, axis=0))
+            nll, cnt, cc = one(params, inputs, labels)
+            return nll, (cnt, cc)
+
+        (nll, (cnt, counts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable)
+
+        nll_g = jax.lax.psum(nll, axes)
+        cnt_g = jax.lax.psum(cnt, axes)
+        grads = jax.lax.psum(grads, axes)
+        counts = jax.lax.psum(counts, axes)
+        denom = jnp.maximum(cnt_g, 1).astype(jnp.float32)
+        loss = nll_g / denom
+
+        new_buf = jax.tree.map(
+            lambda b, gr: momentum * b + gr / denom,
+            state.momentum_buf, grads,
+        )
+        new_trainable = jax.tree.map(
+            lambda p, b: (p - state.lr * b).astype(p.dtype),
+            state.trainable, new_buf,
+        )
+        new_state = state.replace(
+            trainable=new_trainable, momentum_buf=new_buf,
+            step=state.step + 1,
+        )
+        return new_state, loss, counts
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data", "space"), P("data", "space")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step_sp(
+    apply_fn: Callable,
+    num_classes: int,
+    mesh,
+    background: int = -1,
+    apply_activation: bool = True,
+    final_sigmoid: bool = False,
+    scan_batch: bool = False,
+):
+    """Spatially-sharded eval step (shard_map twin of make_train_step_sp);
+    ``apply_fn`` must close over the sp_axis='space' model."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = ("data", "space")
+
+    def one_volume(params, inputs, labels):
+        logits = apply_fn(
+            params, inputs, train=False, apply_final_activation=False,
+            padded_output=True,
+        )
+        lbl = _match_labels(logits, labels, background)
+        preds = jnp.argmax(logits, axis=-1)
+        if apply_activation:
+            logits = _final_activation(logits, final_sigmoid)
+        nll, cnt = cross_entropy_sum(logits, lbl, background)
+        counts = confusion_counts(lbl, preds, num_classes, background)
+        return nll, cnt, counts
+
+    def per_shard(params, inputs, labels):
+        if scan_batch and inputs.shape[0] > 1:
+            nlls, cnts, ccs = jax.lax.map(
+                lambda args: one_volume(params, args[0][None], args[1][None]),
+                (inputs, labels),
+            )
+            nll, cnt, counts = (
+                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
+            )
+        else:
+            nll, cnt, counts = one_volume(params, inputs, labels)
+        nll_g = jax.lax.psum(nll, axes)
+        cnt_g = jax.lax.psum(cnt, axes)
+        counts = jax.lax.psum(counts, axes)
+        loss = nll_g / jnp.maximum(cnt_g, 1).astype(jnp.float32)
+        return loss, counts
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data", "space"), P("data", "space")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_eval_step_dp(
     apply_fn: Callable,
     num_classes: int,

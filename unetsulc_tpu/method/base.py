@@ -207,14 +207,21 @@ class SulciLabeller:
     # ------------------------------------------------------------------
     # inference (ref pattern_class.py:247-279)
     # ------------------------------------------------------------------
-    def labeling(
+    def _labeling_dispatch(
         self,
         gfile: str,
         bck2=None,
         names=None,
         imgsize=None,
-    ):
-        """Label one graph; returns (ytrue, ypred, yscores)."""
+    ) -> dict:
+        """Voxelize + dispatch the labeling forward WITHOUT fetching.
+
+        Returns a handle dict whose device arrays are still in flight
+        (jax dispatch is asynchronous): ``_labeling_fetch`` blocks on the
+        device->host score transfer.  Splitting dispatch from fetch lets
+        the threshold sweep overlap volume k+1's forward with volume k's
+        ~130 ms tunnel fetch + host-side cutting (the device idles there
+        in a serial loop)."""
         print("Labeling", gfile)
         if bck2 is None:
             bck2 = self.dict_bck2[gfile]
@@ -260,11 +267,34 @@ class SulciLabeller:
         ypred_d, yscores_d = label_fn(
             self.params, vol_in[None], coords[0], coords[1], coords[2]
         )
-        ypred = np.asarray(ypred_d)[:n].tolist()
-        # f16 transfer dtype (train/step.make_label_fn) -> f32 for cutting
-        yscores = np.asarray(yscores_d)[:n].astype(np.float32)
         ytrue = vol_lb[bck_t[:, 0], bck_t[:, 1], bck_t[:, 2]].tolist()
-        return ytrue, ypred, yscores
+        return {
+            "ypred_d": ypred_d,
+            "yscores_d": yscores_d,
+            "n": n,
+            "ytrue": ytrue,
+        }
+
+    @staticmethod
+    def _labeling_fetch(handle: dict):
+        """Block on the device->host transfer of a dispatched labeling."""
+        n = handle["n"]
+        ypred = np.asarray(handle["ypred_d"])[:n].tolist()
+        # f16 transfer dtype (train/step.make_label_fn) -> f32 for cutting
+        yscores = np.asarray(handle["yscores_d"])[:n].astype(np.float32)
+        return handle["ytrue"], ypred, yscores
+
+    def labeling(
+        self,
+        gfile: str,
+        bck2=None,
+        names=None,
+        imgsize=None,
+    ):
+        """Label one graph; returns (ytrue, ypred, yscores)."""
+        return self._labeling_fetch(
+            self._labeling_dispatch(gfile, bck2, names, imgsize)
+        )
 
     # ------------------------------------------------------------------
     # threshold sweep (ref pattern_class.py:177-245)
@@ -281,23 +311,18 @@ class SulciLabeller:
         for th in threshold_range:
             self.dict_scores[th] = []
 
-        for gfile, gfile_notcut in zip(gfile_list_test, gfile_list_notcut_test):
-            graph = read_graph(gfile)
-            if self.trfile is not None:
-                self.flt.translate(graph)
-            data = extract_data(graph)
-            nbck = np.asarray(data["nbck"])
-            bck2 = np.asarray(data["bck2"])
-            names = np.asarray(data["names"])
+        def finish(item) -> None:
+            """Fetch one dispatched volume's scores and run its sweep.
 
-            graph_notcut = read_graph(gfile_notcut)
-            if self.trfile is not None:
-                self.flt.translate(graph_notcut)
-            data_notcut = extract_data(graph_notcut)
-            nbck_notcut = np.asarray(data_notcut["nbck"])
-            vert_notcut = np.asarray(data_notcut["vert"])
-
-            _, _, yscores = self.labeling(gfile)
+            Runs one volume BEHIND the dispatch loop, so the device
+            computes volume k+1's forward during volume k's score fetch
+            (~130 ms through the axon tunnel) and host-side cutting —
+            the reference labels strictly serially
+            (ref pattern_class.py:177-245); scores and results are
+            identical, only the idle time goes."""
+            gfile, gfile_notcut, host, handle = item
+            nbck, bck2, names, nbck_notcut, vert_notcut = host
+            _, _, yscores = self._labeling_fetch(handle)
 
             if len(nbck) != len(nbck_notcut):
                 # alignment impossible (ref pattern_class.py:220-225)
@@ -307,7 +332,7 @@ class SulciLabeller:
                 )
                 print("--- Files ignored to fix the threshold")
                 print()
-                continue
+                return
 
             # align cut <-> uncut voxels by lexicographic order on native
             # coords (ref pattern_class.py:204-227, pandas sort_values);
@@ -327,6 +352,36 @@ class SulciLabeller:
                 self.dict_scores[threshold].append(
                     (1 - esi_score(names, ypred_cut, self.sslist)) * 100
                 )
+
+        pending = []
+        for gfile, gfile_notcut in zip(gfile_list_test, gfile_list_notcut_test):
+            # dispatch first: the device works on this volume while the
+            # host reads/extracts the graph pair below
+            handle = self._labeling_dispatch(gfile)
+
+            graph = read_graph(gfile)
+            if self.trfile is not None:
+                self.flt.translate(graph)
+            data = extract_data(graph)
+            nbck = np.asarray(data["nbck"])
+            bck2 = np.asarray(data["bck2"])
+            names = np.asarray(data["names"])
+
+            graph_notcut = read_graph(gfile_notcut)
+            if self.trfile is not None:
+                self.flt.translate(graph_notcut)
+            data_notcut = extract_data(graph_notcut)
+            nbck_notcut = np.asarray(data_notcut["nbck"])
+            vert_notcut = np.asarray(data_notcut["vert"])
+
+            pending.append((
+                gfile, gfile_notcut,
+                (nbck, bck2, names, nbck_notcut, vert_notcut), handle,
+            ))
+            if len(pending) > 1:
+                finish(pending.pop(0))
+        for item in pending:
+            finish(item)
 
         if save_results:
             for th, sc in self.dict_scores.items():

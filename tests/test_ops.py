@@ -133,6 +133,27 @@ def test_resize_matmul_equals_gather():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_resize_buf_matches_unpadded():
+    """Buffer-native resize == unpad -> resize -> repad (incl. zero pads)."""
+    from unetsulc_tpu.ops import conv_pallas as cp
+    from unetsulc_tpu.ops.resize import resize_trilinear, resize_trilinear_buf
+
+    rng = np.random.default_rng(7)
+    g_in = cp.make_geom(5, 9, 6)
+    g_out = cp.make_geom(9, 17, 11)
+    x = jnp.asarray(rng.normal(size=(1, 5, 9, 6, 8)).astype(np.float32))
+    buf = cp.pad_to_geom(x, g_in)
+    got = resize_trilinear_buf(buf, g_in, g_out)
+    want = cp.pad_to_geom(
+        resize_trilinear(x, (g_out.X, g_out.Y, g_out.Z)), g_out,
+        cs=buf.shape[-1],
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_cutting_large_fold_kdtree_path():
     """The KD-tree nearest-assignment path (big folds) matches semantics."""
     rng = np.random.default_rng(0)

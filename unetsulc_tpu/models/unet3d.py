@@ -41,7 +41,7 @@ import numpy as np
 from flax import linen as nn
 
 from unetsulc_tpu.ops.groupnorm import group_norm
-from unetsulc_tpu.ops.resize import resize_trilinear
+from unetsulc_tpu.ops.resize import resize_trilinear, resize_trilinear_buf
 from unetsulc_tpu.ops import conv_pallas as cp
 
 
@@ -518,11 +518,12 @@ class Decoder(nn.Module):
                 up5 = sp_resize_to_slab(
                     cp.unpad_from_geom(x.buf, x.g), gt, self.sp_axis
                 )
+                up = PallasVol(cp.pad_to_geom(up5, gt), x.aff, gt)
             else:
-                up5 = resize_trilinear(
-                    cp.unpad_from_geom(x.buf, x.g), (gt.X, gt.Y, gt.Z)
+                # buffer-native resize: no unpad/repad or shard-merge glue
+                up = PallasVol(
+                    resize_trilinear_buf(x.buf, x.g, gt), x.aff, gt
                 )
-            up = PallasVol(cp.pad_to_geom(up5, gt), x.aff, gt)
             return DoubleConv(
                 self.in_channels,
                 self.out_channels,

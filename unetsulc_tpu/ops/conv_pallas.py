@@ -309,6 +309,7 @@ def _fwd_kernel(
     halo: bool,
     edge_outputs: bool,
     has_valid: bool,
+    post: bool,
 ):
     i = 0
     xnext = refs[i]  # (1, 1, plane, cs) block: incoming plane t+1 (clamped)
@@ -339,6 +340,11 @@ def _fwd_kernel(
     if has_partial:
         part_ref = refs[i]  # (kout, 1, plane, cso) block
         i += 1
+    post_ab_ref = post_x_ref = None
+    if post:
+        post_ab_ref = refs[i]  # (kout, 2, cso): the forward block's affine
+        post_x_ref = refs[i + 1]  # (kout, 1, plane, cso): forward input x
+        i += 2
     y_ref = refs[i]  # (kout, 1, plane, cso) block
     sums_ref = refs[i + 1]  # (kout, 2, cso)
     i += 2
@@ -401,11 +407,19 @@ def _fwd_kernel(
         if relu:
             out = jnp.maximum(out, 0.0)
         out = out * mask_t
-        y_ref[ko, 0] = out.astype(out_dtype)
-        if stats:
+        if stats or post:
             of = out.astype(jnp.float32)
-            s0 = jnp.sum(of, axis=0, keepdims=True)
-            s1 = jnp.sum(of * of, axis=0, keepdims=True)
+            if post:
+                # backward cross-stats: da = sum(x * dxn), db = sum(dxn)
+                # over the interior (mask_t already zeroed pad rows/planes)
+                s0 = jnp.sum(
+                    of * post_x_ref[ko, 0].astype(jnp.float32),
+                    axis=0, keepdims=True,
+                )
+                s1 = jnp.sum(of, axis=0, keepdims=True)
+            else:
+                s0 = jnp.sum(of, axis=0, keepdims=True)
+                s1 = jnp.sum(of * of, axis=0, keepdims=True)
             new = jnp.concatenate([s0, s1], axis=0)
 
             @pl.when(t == 1)
@@ -415,6 +429,11 @@ def _fwd_kernel(
             @pl.when(t != 1)
             def _(ko=ko, new=new):
                 stat_acc[ko] += new
+        if post:
+            # dx w.r.t. the RAW input of the forward block: scale the
+            # normalized-input cotangent by the affine's a (f32, pre-cast)
+            out = out * post_ab_ref[ko, 0:1, :]
+        y_ref[ko, 0] = out.astype(out_dtype)
 
     cso = y_ref.shape[-1]
 
@@ -530,7 +549,7 @@ def _fwd_kernel(
     def _():  # outermost pad planes are written as exact zeros
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    if stats:
+    if stats or post:
         @pl.when((t == n_t - 1) & (ki == n_ki - 1))
         def _():
             sums_ref[...] = stat_acc[...]
@@ -551,6 +570,8 @@ def conv_shards(
     halo: bool = False,
     valid_in: Optional[jnp.ndarray] = None,
     edge_outputs: bool = False,
+    post_ab: Optional[jnp.ndarray] = None,
+    post_x: Optional[jnp.ndarray] = None,
 ):
     """Run the fused conv over a channel-sharded input.
 
@@ -559,6 +580,14 @@ def conv_shards(
     bias: (Cout,) or None; partial: optional (Kout, Xp, plane, cso)
     pre-activation accumulator added before ReLU/stats.
     Returns (y (Kout, Xp, plane, cso), sums (Kout, 2, cso) f32).
+
+    ``post_ab``/``post_x`` (backward dx mode, exclusive with stats/halo):
+    the kernel computes the transposed conv's normalized-input cotangent
+    ``dxn`` as usual, accumulates the d(affine) cross-stats
+    ``sums[:, 0] = sum(post_x * dxn)`` / ``sums[:, 1] = sum(dxn)`` over
+    the interior, and writes ``dxn * post_ab[:, 0]`` — folding what was a
+    separate full-resolution XLA pass (read dxn + x, write dx, reduce
+    da/db) into the kernel's finalize.
 
     Spatial-parallel extensions (SURVEY §2.2b; used under shard_map):
     ``halo`` treats the ring planes 0 / Xp-1 as real neighbor data (the
@@ -571,6 +600,11 @@ def conv_shards(
     assert xp == g.Xp and ps == g.plane, (x.shape, g)
     kout, cso = int(w.shape[1]), int(w.shape[-1])
     assert w.shape == (kin, kout, 27, cs, cso), (w.shape,)
+    post = post_ab is not None
+    if post:
+        assert post_x is not None and not (stats or halo or edge_outputs)
+        assert post_ab.shape == (kout, 2, cso), (post_ab.shape,)
+        assert post_x.shape == (kout, xp, ps, cso), (post_x.shape,)
     if halo:
         assert ab is not None, "halo mode normalizes ring planes (pass identity affine)"
         assert valid_in is not None and valid_in.shape == (xp,), valid_in
@@ -600,6 +634,7 @@ def conv_shards(
         halo=halo,
         edge_outputs=edge_outputs,
         has_valid=valid_in is not None,
+        post=post,
     )
 
     last = g.Xp - 1
@@ -675,6 +710,19 @@ def conv_shards(
             )
         )
         operands.append(partial)
+    if post:
+        in_specs += [
+            pl.BlockSpec(
+                (kout, 2, cso), lambda t, ki: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (kout, 1, ps, cso),
+                lambda t, ki: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [post_ab.astype(jnp.float32), post_x]
 
     sg = g.Zp
     # the partial accumulator is consumed exactly once and then dead:
@@ -1022,13 +1070,22 @@ def _fused_bwd(n_inputs, g, interpret, halo, res, cts):
 
     dbias = jnp.sum(dconv.astype(jnp.float32), axis=(1, 2)).reshape(-1)
 
-    rows = jnp.asarray(_interior_mask_3d(g))  # (1, Xp, ps, 1)
-
     def branch_grads(xb, abb, wb, vb):
         dwb = conv_wgrad_shards(
             xb, abb, dconv, g=g, interpret=interpret, halo=halo, valid_in=vb
         )
         wt = mirror_transpose_shards(wb)
+        if not halo:
+            # dx-kernel post mode: the kernel scales by a at finalize and
+            # accumulates the da/db cross-stats in its sums output — the
+            # separate full-res XLA pass (read dxn + x, write dx, reduce
+            # da/db) disappears.
+            dxb, dsums = conv_shards(
+                dconv, None, wt, None, g=g, relu=False, stats=False,
+                out_dtype=xb.dtype, interpret=interpret,
+                post_ab=abb, post_x=xb,
+            )  # (Kin_b, Xp, ps, cs_b), (Kin_b, 2, cs_b)
+            return dxb, dsums.astype(abb.dtype), dwb.astype(wb.dtype)
         dxn, _ = conv_shards(
             dconv, None, wt, None, g=g, relu=False, stats=False,
             out_dtype=y.dtype, interpret=interpret, edge_outputs=halo,
@@ -1037,22 +1094,18 @@ def _fused_bwd(n_inputs, g, interpret, halo, res, cts):
         # halo mode the affine was also applied to neighbor data in the
         # valid ring planes (a distinct application from the neighbor's
         # own), so those contributions belong in this shard's da/db.
-        if halo:
-            row_mask = jnp.asarray(
-                g.interior_mask_rows().reshape(1, 1, g.plane, 1)
-            )
-            mask = row_mask * vb.astype(jnp.float32)[None, :, None, None]
-        else:
-            mask = rows
+        row_mask = jnp.asarray(
+            g.interior_mask_rows().reshape(1, 1, g.plane, 1)
+        )
+        mask = row_mask * vb.astype(jnp.float32)[None, :, None, None]
         a = abb[:, 0:1, :][:, None, :, :]  # (Kin_b, 1, 1, cs_b)
         dxb = (dxn.astype(jnp.float32) * a).astype(xb.dtype)
         dxn_m = dxn.astype(jnp.float32) * mask
         da = jnp.sum(xb.astype(jnp.float32) * dxn_m, axis=(1, 2))
         db = jnp.sum(dxn_m, axis=(1, 2))
         dab = jnp.stack([da, db], axis=1).astype(abb.dtype)
-        if halo:
-            # dxb at INVALID planes must be zero (their input was ignored)
-            dxb = dxb * vb.astype(dxb.dtype)[None, :, None, None]
+        # dxb at INVALID planes must be zero (their input was ignored)
+        dxb = dxb * vb.astype(dxb.dtype)[None, :, None, None]
         return dxb, dab, dwb.astype(wb.dtype)
 
     dx1, dab1, dw1 = branch_grads(x1, ab1, w1, valid1)

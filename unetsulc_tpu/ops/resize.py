@@ -82,6 +82,47 @@ def resize_trilinear(
     return x
 
 
+def _interp_matrix_padded(
+    in_size: int, out_size: int, pad_in: int, pad_out: int
+) -> np.ndarray:
+    """(pad_out, pad_in) interp matrix on padded axes (interior offset 1).
+
+    Rows for output padding are zero (conv kernels trust exact-zero
+    padding) and columns for input padding are never referenced, so the
+    resize runs directly on a padded buffer without unpad/repad passes."""
+    m = np.zeros((pad_out, pad_in), np.float32)
+    m[1 : 1 + out_size, 1 : 1 + in_size] = _interp_matrix(in_size, out_size)
+    return m
+
+
+def resize_trilinear_buf(buf: jnp.ndarray, g_in, g_out) -> jnp.ndarray:
+    """Trilinear-resize a padded row-major buffer, layout-native.
+
+    buf: (K, Xp, plane, cs) in the conv_pallas layout for geometry
+    ``g_in``; returns the same-K buffer for ``g_out`` with identical
+    interior semantics as ``resize_trilinear`` on the unpadded volume
+    (same half-pixel weights; pads stay exact zeros).  The plane split
+    (plane -> Yp, Zp) is layout-free, the channel shards never merge, and
+    no unpad/pad passes run — this replaced ~2 ms/step of XLA relayout
+    glue around the decoder upsample (BASELINE.md round-3 notes).
+    """
+    k, xp, ps, cs = (int(v) for v in buf.shape)
+    assert xp == g_in.Xp and ps == g_in.plane, (buf.shape, g_in)
+    x6 = buf.reshape(k, xp, g_in.Yp, g_in.Zp, cs)
+    for axis, i_in, i_out, p_in, p_out in (
+        (3, g_in.Z, g_out.Z, g_in.Zp, g_out.Zp),
+        (2, g_in.Y, g_out.Y, g_in.Yp, g_out.Yp),
+        (1, g_in.X, g_out.X, g_in.Xp, g_out.Xp),
+    ):
+        if i_in == i_out and p_in == p_out:
+            continue
+        m = jnp.asarray(
+            _interp_matrix_padded(i_in, i_out, p_in, p_out), dtype=buf.dtype
+        )
+        x6 = jnp.moveaxis(jnp.tensordot(x6, m, axes=[[axis], [1]]), -1, axis)
+    return x6.reshape(k, g_out.Xp, g_out.plane, cs)
+
+
 def resize_nearest(x: jnp.ndarray, target: Sequence[int]) -> jnp.ndarray:
     """Nearest-neighbor variant (torch ``mode='nearest'``: src = floor(dst*in/out))."""
     assert x.ndim == 5

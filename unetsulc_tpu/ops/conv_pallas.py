@@ -76,6 +76,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -86,6 +87,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_SHARD = 128  # widest lane shard; 128 lanes = full MXU contraction rows
 _VMEM_LIMIT = 100 * 1024 * 1024
+# phase-buffer budget for the K-folded fwd/dx kernels (see conv_shards):
+# the flagship level-0 64-wide case (3 x 10976 x 576 bf16 = 37.9 MB) must
+# pass; the 128-wide full-res case (75.9 MB) must not (no headroom left
+# for the input/output double buffering)
+_KFOLD9_BUDGET = 40 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -230,6 +236,28 @@ def pack_weights_dyfold(wb: jnp.ndarray):
     return wac, wmid
 
 
+def pack_weights_dxfold9(wb: jnp.ndarray):
+    """(Kin, Kout, 27, cs, cso) -> (wac9 (Kin,Kout,9cs,2cso), wmid9
+    (Kin,Kout,9cs,cso)).
+
+    The round-3 K-fold packing: on top of the dy-fold (dz in the
+    contraction dim, dy = 0/2 as an [A|C] output pair), the dx tap axis
+    ALSO merges into the contraction dim — one (plane, 9cs) @ (9cs, N)
+    dot per output plane instead of three K = 3cs dots.  K-block order is
+    [dx=1 | dx=0 | dx=2]: the kernel's phase buffers build each incoming
+    plane's slab at lane offset 0 of its own output's buffer (aligned
+    build) and copy it into the two neighbors' buffers at offsets 3cs/6cs
+    (store offsets Mosaic supports; the copy READS at offset 0)."""
+    kin, kout, _, cs, cso = wb.shape
+    wac, wmid = pack_weights_dyfold(wb)  # (..., 3, 3cs, {2cso|cso})
+    order = (1, 0, 2)
+
+    def fold9(wt):
+        return jnp.concatenate([wt[:, :, d] for d in order], axis=2)
+
+    return fold9(wac), fold9(wmid)
+
+
 # ---------------------------------------------------------------------------
 # forward / plain-conv kernel
 # ---------------------------------------------------------------------------
@@ -310,6 +338,7 @@ def _fwd_kernel(
     edge_outputs: bool,
     has_valid: bool,
     post: bool,
+    kfold: bool,
 ):
     i = 0
     xnext = refs[i]  # (1, 1, plane, cs) block: incoming plane t+1 (clamped)
@@ -327,6 +356,7 @@ def _fwd_kernel(
         valid_ref = refs[i]  # (Xp,) f32 per-plane input validity (SMEM)
         i += 1
     if fold:
+        # kfold: (1, kout, 9cs, {2cso|cso}) — dx merged into K
         wac_ref = refs[i]  # (1, kout, 3, 3cs, 2cso): dy = 0/2 pair
         wmid_ref = refs[i + 1]  # (1, kout, 3, 3cs, cso): dy = 1
         i += 2
@@ -390,7 +420,29 @@ def _fwd_kernel(
         norm = norm * jnp.where(t + 1 <= n_t - 1, 1.0, 0.0).astype(
             norm.dtype
         )
-    _build_slab(zcat, ki, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
+    if kfold:
+        # K-fold phase buffers (zcat: (kin, 3, ps, 9cs)): output plane o
+        # contracts ONE (ps, 9cs) operand [slab_o | slab_{o-1} | slab_{o+1}]
+        # against dx-merged weights.  The incoming plane p = t+1's slab is
+        # built ONCE at lane offset 0 of phase p%3 (its own output's
+        # buffer), then copied into the two neighbor outputs' buffers —
+        # trading 2 extra (ps, 3cs) stores per plane for a 3x wider MXU
+        # contraction (K = 9cs vs 3cs).
+        w3 = 3 * cs
+        phi1 = jax.lax.rem(t + 1, 3)
+        zero_row = jnp.zeros((1, cs), norm.dtype)
+        zcat[ki, phi1, 1:ps, 0:cs] = norm[: ps - 1, :]
+        zcat[ki, phi1, 0:1, 0:cs] = zero_row
+        zcat[ki, phi1, :, cs : 2 * cs] = norm
+        zcat[ki, phi1, : ps - 1, 2 * cs : 3 * cs] = norm[1:ps, :]
+        zcat[ki, phi1, ps - 1 : ps, 2 * cs : 3 * cs] = zero_row
+        slab = zcat[ki, phi1, :, 0:w3]
+        # as plane (o-1) for output o = t+2: K block 1
+        zcat[ki, jax.lax.rem(t + 2, 3), :, w3 : 2 * w3] = slab
+        # as plane (o+1) for output o = t: K block 2
+        zcat[ki, jax.lax.rem(t, 3), :, 2 * w3 : 3 * w3] = slab
+    else:
+        _build_slab(zcat, ki, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
     if edge_outputs:
         # compute every plane including the rings: their values are the
@@ -454,6 +506,20 @@ def _fwd_kernel(
                 else mask * jnp.where(t <= g.X, 1.0, 0.0)
             )
         for ko in range(kout):
+            if kin == 1 and fold and kfold:
+                # single in-shard, fully K-folded: ONE (ps, 9cs) pair dot
+                # + ONE middle dot per output plane
+                op = zcat[ki, jax.lax.rem(t, 3)]
+                tac = jax.lax.dot_general(
+                    op, wac_ref[0, ko], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                tb = jax.lax.dot_general(
+                    op, wmid_ref[0, ko], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                finalize_ko(ko, _combine_dy(tac, tb, ps, cso, g.Zp), mask_t)
+                continue
             if kin == 1 and fold:
                 # single in-shard, dy-folded: 3 pair dots (N = 2cso) + 3
                 # middle dots (N = cso) as values, combined by row shifts
@@ -485,6 +551,27 @@ def _fwd_kernel(
                 finalize_ko(ko, total, mask_t)
                 continue
             # multi-in-shard grids accumulate in scratch across ki
+            if fold and kfold:
+                op = zcat[ki, jax.lax.rem(t, 3)]
+                cac = jax.lax.dot_general(
+                    op, wac_ref[0, ko], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cb = jax.lax.dot_general(
+                    op, wmid_ref[0, ko], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(ki == 0)
+                def _(ko=ko, cac=cac, cb=cb):
+                    acc[ko] = cac
+                    acc2[ko] = cb
+
+                @pl.when(ki != 0)
+                def _(ko=ko, cac=cac, cb=cb):
+                    acc[ko] += cac
+                    acc2[ko] += cb
+                continue
             if fold:
                 for dx in range(3):
                     si = jax.lax.rem(t + 2 + dx, 3)
@@ -619,6 +706,18 @@ def conv_shards(
     # columns; at cso == 128 the classic 9-dot grid is already full-width
     # and the fold's roll/shift passes would be pure overhead
     fold = cso < MAX_SHARD
+    # K-fold (round 3): additionally merge the dx taps into the
+    # contraction dim via triple phase buffers — one K = 9cs dot pair per
+    # output plane.  Gated on the phase buffers fitting comfortably in
+    # VMEM (the flagship level-0 64-wide case is 37.9 MB) and off for the
+    # halo modes (their ring-plane slab bookkeeping assumes the rolling
+    # 3-slab layout).
+    kfold = (
+        fold
+        and not (halo or edge_outputs)
+        and os.environ.get("UNETSULC_KFOLD9", "1") != "0"
+        and kin * 3 * ps * 9 * cs * x.dtype.itemsize <= _KFOLD9_BUDGET
+    )
 
     kern = functools.partial(
         _fwd_kernel,
@@ -635,6 +734,7 @@ def conv_shards(
         edge_outputs=edge_outputs,
         has_valid=valid_in is not None,
         post=post,
+        kfold=kfold,
     )
 
     last = g.Xp - 1
@@ -666,7 +766,22 @@ def conv_shards(
     if valid_in is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(valid_in.astype(jnp.float32))
-    if fold:
+    if fold and kfold:
+        wac, wmid = pack_weights_dxfold9(w)
+        in_specs += [
+            pl.BlockSpec(
+                (1, kout, 9 * cs, 2 * cso),
+                lambda t, ki: (ki, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kout, 9 * cs, cso),
+                lambda t, ki: (ki, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [wac, wmid]
+    elif fold:
         wac, wmid = pack_weights_dyfold(w)
         in_specs += [
             pl.BlockSpec(
@@ -753,7 +868,12 @@ def conv_shards(
             jax.ShapeDtypeStruct((kout, 2, cso), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((kin, 3, ps + 2 * sg, 3 * cs), x.dtype),
+            pltpu.VMEM(
+                (kin, 3, ps, 9 * cs)
+                if kfold
+                else (kin, 3, ps + 2 * sg, 3 * cs),
+                x.dtype,
+            ),
             # kin == 1 accumulates dots as values; no acc scratch needed.
             # kin > 1: acc holds the [A|C] pair products (fold) or the
             # plain tap sums; acc2 holds the dy = 1 products (fold only).

@@ -441,6 +441,10 @@ def test_kfold9_matches_rolling_slabs(monkeypatch):
         (1, 2, 8, 16, True, True, False),
         (2, 2, 16, 8, True, True, False),
         (2, 1, 8, 8, False, True, True),
+        # unfolded (cso == 128): dz+dx in K, dy stays a guarded row offset
+        (1, 1, 8, 128, True, False, False),
+        (2, 1, 16, 128, True, True, False),
+        (1, 1, 8, 128, False, False, True),
     ]:
         buf = cp.pad_to_geom(mk((1, g.X, g.Y, g.Z, kin * cs)), g, cs=cs)
         ab = (mk((kin, 2, cs)) * 0.3 + jnp.asarray([[1.0], [0.0]])

@@ -88,10 +88,11 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_SHARD = 128  # widest lane shard; 128 lanes = full MXU contraction rows
 _VMEM_LIMIT = 100 * 1024 * 1024
 # phase-buffer budget for the K-folded fwd/dx kernels (see conv_shards):
-# the flagship level-0 64-wide case (3 x 10976 x 576 bf16 = 37.9 MB) must
-# pass; the 128-wide full-res case (75.9 MB) must not (no headroom left
-# for the input/output double buffering)
-_KFOLD9_BUDGET = 40 * 1024 * 1024
+# the flagship level-0 64-wide case (3 x 10976 x 576 bf16 = 37.9 MB) and
+# the quarter-res 256-in mid-level case (41 MB) must pass; the 128-wide
+# full-res case (75.9 MB) must not (no headroom left for the input/output
+# double buffering)
+_KFOLD9_BUDGET = 44 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -256,6 +257,18 @@ def pack_weights_dxfold9(wb: jnp.ndarray):
         return jnp.concatenate([wt[:, :, d] for d in order], axis=2)
 
     return fold9(wac), fold9(wmid)
+
+
+def pack_weights_zcat9(wb: jnp.ndarray) -> jnp.ndarray:
+    """(Kin, Kout, 27, cs, cso) -> (Kin, Kout, 3dy, 9cs, cso).
+
+    The unfolded (cso == 128) K-fold packing: dz and dx both merge into
+    the contraction dim (same [dx=1 | dx=0 | dx=2] K-block order as
+    :func:`pack_weights_dxfold9`); dy stays a row offset into the guarded
+    phase buffers — 3 dots of K = 9cs per output plane instead of 9 of
+    K = 3cs."""
+    wz = pack_weights_zcat(wb)  # (Kin, Kout, 3dx, 3dy, 3cs, cso)
+    return jnp.concatenate([wz[:, :, d] for d in (1, 0, 2)], axis=3)
 
 
 # ---------------------------------------------------------------------------
@@ -429,18 +442,21 @@ def _fwd_kernel(
         # trading 2 extra (ps, 3cs) stores per plane for a 3x wider MXU
         # contraction (K = 9cs vs 3cs).
         w3 = 3 * cs
+        # the fold path needs no row guards (dy lives on the [A|C] lane
+        # pair); the unfolded path keeps them for its +-Zp dy offsets
+        sk = 0 if fold else sg
         phi1 = jax.lax.rem(t + 1, 3)
         zero_row = jnp.zeros((1, cs), norm.dtype)
-        zcat[ki, phi1, 1:ps, 0:cs] = norm[: ps - 1, :]
-        zcat[ki, phi1, 0:1, 0:cs] = zero_row
-        zcat[ki, phi1, :, cs : 2 * cs] = norm
-        zcat[ki, phi1, : ps - 1, 2 * cs : 3 * cs] = norm[1:ps, :]
-        zcat[ki, phi1, ps - 1 : ps, 2 * cs : 3 * cs] = zero_row
-        slab = zcat[ki, phi1, :, 0:w3]
+        zcat[ki, phi1, sk + 1 : sk + ps, 0:cs] = norm[: ps - 1, :]
+        zcat[ki, phi1, sk : sk + 1, 0:cs] = zero_row
+        zcat[ki, phi1, sk : sk + ps, cs : 2 * cs] = norm
+        zcat[ki, phi1, sk : sk + ps - 1, 2 * cs : 3 * cs] = norm[1:ps, :]
+        zcat[ki, phi1, sk + ps - 1 : sk + ps, 2 * cs : 3 * cs] = zero_row
+        slab = zcat[ki, phi1, sk : sk + ps, 0:w3]
         # as plane (o-1) for output o = t+2: K block 1
-        zcat[ki, jax.lax.rem(t + 2, 3), :, w3 : 2 * w3] = slab
+        zcat[ki, jax.lax.rem(t + 2, 3), sk : sk + ps, w3 : 2 * w3] = slab
         # as plane (o+1) for output o = t: K block 2
-        zcat[ki, jax.lax.rem(t, 3), :, 2 * w3 : 3 * w3] = slab
+        zcat[ki, jax.lax.rem(t, 3), sk : sk + ps, 2 * w3 : 3 * w3] = slab
     else:
         _build_slab(zcat, ki, jax.lax.rem(t + 1, 3), norm, ps, cs, sg)
 
@@ -533,6 +549,22 @@ def _fwd_kernel(
                     tb = cb if tb is None else tb + cb
                 finalize_ko(ko, _combine_dy(tac, tb, ps, cso, g.Zp), mask_t)
                 continue
+            if kin == 1 and kfold:
+                # single in-shard, wide out-shard, K-folded: 3 dy dots of
+                # K = 9cs into the guarded phase buffer
+                total = None
+                phi = jax.lax.rem(t, 3)
+                for dy in range(3):
+                    s = sg + (dy - 1) * g.Zp
+                    contrib = jax.lax.dot_general(
+                        zcat[ki, phi, s : s + ps, :],
+                        wz_ref[0, ko, dy],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    total = contrib if total is None else total + contrib
+                finalize_ko(ko, total, mask_t)
+                continue
             if kin == 1:
                 # single in-shard, wide out-shard (cso == 128): the 9
                 # tap-column dots already run the MXU at full column width
@@ -590,6 +622,27 @@ def _fwd_kernel(
                     else:
                         acc[ko] += cac
                         acc2[ko] += cb
+                continue
+            if kfold:
+                phi = jax.lax.rem(t, 3)
+                for dy in range(3):
+                    s = sg + (dy - 1) * g.Zp
+                    contrib = jax.lax.dot_general(
+                        zcat[ki, phi, s : s + ps, :],
+                        wz_ref[0, ko, dy],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if dy == 0:
+                        @pl.when(ki == 0)
+                        def _(ko=ko, contrib=contrib):
+                            acc[ko] = contrib
+
+                        @pl.when(ki != 0)
+                        def _(ko=ko, contrib=contrib):
+                            acc[ko] += contrib
+                    else:
+                        acc[ko] += contrib
                 continue
             first = True
             for dx in range(3):
@@ -707,16 +760,18 @@ def conv_shards(
     # and the fold's roll/shift passes would be pure overhead
     fold = cso < MAX_SHARD
     # K-fold (round 3): additionally merge the dx taps into the
-    # contraction dim via triple phase buffers — one K = 9cs dot pair per
-    # output plane.  Gated on the phase buffers fitting comfortably in
-    # VMEM (the flagship level-0 64-wide case is 37.9 MB) and off for the
-    # halo modes (their ring-plane slab bookkeeping assumes the rolling
-    # 3-slab layout).
+    # contraction dim via triple phase buffers — one K = 9cs dot pair
+    # (fold) or 3 dy dots of K = 9cs (unfolded) per output plane.  Gated
+    # on the phase buffers fitting comfortably in VMEM (the flagship
+    # level-0 64-wide case is 37.9 MB; the 128-wide mid-level cases fit
+    # easily at quarter-resolution planes) and off for the halo modes
+    # (their ring-plane slab bookkeeping assumes the rolling 3-slab
+    # layout).
+    kf_rows = ps if fold else ps + 2 * g.Zp
     kfold = (
-        fold
-        and not (halo or edge_outputs)
+        not (halo or edge_outputs)
         and os.environ.get("UNETSULC_KFOLD9", "1") != "0"
-        and kin * 3 * ps * 9 * cs * x.dtype.itemsize <= _KFOLD9_BUDGET
+        and kin * 3 * kf_rows * 9 * cs * x.dtype.itemsize <= _KFOLD9_BUDGET
     )
 
     kern = functools.partial(
@@ -796,6 +851,15 @@ def conv_shards(
             ),
         ]
         operands += [wac, wmid]
+    elif kfold:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, kout, 3, 9 * cs, cso),
+                lambda t, ki: (ki, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(pack_weights_zcat9(w))
     else:
         in_specs.append(
             pl.BlockSpec(
@@ -869,7 +933,7 @@ def conv_shards(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (kin, 3, ps, 9 * cs)
+                (kin, 3, kf_rows, 9 * cs)
                 if kfold
                 else (kin, 3, ps + 2 * sg, 3 * cs),
                 x.dtype,

@@ -227,6 +227,14 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
     on_cpu = jax.default_backend() == "cpu"
     if equivalence is None:
         equivalence = on_cpu
+    if sp > 1:
+        # matched kernel config for the sp equivalence check: halo mode
+        # always runs the rolling-slab kernels, and the K-folded dots sum
+        # taps in a different float order (the sp measurement itself never
+        # uses kfold, so this only pins the single-device reference)
+        import os
+
+        os.environ["UNETSULC_KFOLD9"] = "0"
     # CPU = correctness harness (tiny shapes); TPU = the real measurement
     volume = (16, 16, 16) if on_cpu else VOLUME
     init_ch = 8 if on_cpu else INIT_CH

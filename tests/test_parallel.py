@@ -485,3 +485,47 @@ def test_cached_steps_pick_sp_pallas():
     assert np.isfinite(float(loss))
     el, ec = eval_step(state_d.params, in_d, lb_d)
     assert np.isfinite(float(el))
+
+
+def test_sp_static_shapes_ok_contract():
+    """Only space axes whose slabs are valid for EVERY bucketed extent
+    (multiples of 16, min 32: X % n == 0, even slab, slab >= 4) pass —
+    exactly {2, 4, 8} (parallel/sp_pallas.py sp_static_shapes_ok)."""
+    from unetsulc_tpu.data.voxelize import DEFAULT_BUCKET_SIZES
+    from unetsulc_tpu.parallel.sp_pallas import sp_static_shapes_ok
+
+    def brute(n):
+        xs = list(DEFAULT_BUCKET_SIZES) + [288, 320, 352]  # beyond-max
+        return all(
+            x % n == 0 and (x // n) % 2 == 0 and x // n >= 4 for x in xs
+        )
+
+    # n=1 is not a spatial mesh; the predicate only judges n > 1
+    for n in range(2, 17):
+        assert sp_static_shapes_ok(n) == brute(n), n
+    assert {n for n in range(2, 17) if sp_static_shapes_ok(n)} == {2, 4, 8}
+
+
+def test_cached_steps_sp_ineligible_mesh_falls_back(capsys):
+    """spatial_parallel values the Pallas sp path cannot serve for every
+    bucket (e.g. 3: X=32 is not divisible) must fall back to the plain
+    XLA steps — loudly — instead of building an sp step that crashes
+    mid-training when an awkward bucket appears (code-review r3)."""
+    import jax.numpy as jnp
+
+    from unetsulc_tpu.method.training import _cached_steps
+
+    model, state, inputs, labels = _sp_pallas_setup()
+    train_step, eval_step = _cached_steps(
+        model, 3, 0.9, dp=1, spatial=3, sp_cpu=True
+    )
+    assert "auto-SPMD XLA path" in capsys.readouterr().out
+    # the fallback steps are plain jits: they run unsharded on a volume
+    # (16) that the sp shard_map would reject (16 % 3 != 0)
+    state2, loss, counts = train_step(
+        state, jnp.asarray(inputs), jnp.asarray(labels)
+    )
+    assert np.isfinite(float(loss))
+    el, ec = eval_step(state2.params, jnp.asarray(inputs),
+                       jnp.asarray(labels))
+    assert np.isfinite(float(el))

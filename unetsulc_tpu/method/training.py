@@ -71,24 +71,45 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
     # forwards keeps the fused kernels with exact batch-mean loss
     # (train/step.py scan_batch).  Only worth it when the model would
     # actually take the pipeline per volume.
+    # ... including the static half of the model's _pallas_eligible: f32
+    # compute on real TPU hardware and unshardable channel widths keep the
+    # XLA path per volume, so scanning the batch would serialize it for
+    # nothing.
     scan_batch = bool(
         model_def.pallas_blocks
         and model_def.dropout == 0
         and model_def.interpolate
         and model_def.conv_layer_order == "crg"
+        and (
+            model_def.compute_dtype != jnp.float32
+            or jax.default_backend() != "tpu"
+        )
+        and model_def._shard_widths_ok()
     )
 
-    # static half of the model's _pallas_eligible: f32 compute on real TPU
-    # hardware and unshardable channel widths must keep the XLA path (the
-    # sp_axis model RAISES rather than silently falling back).  Off-TPU
-    # the interpret-mode kernels only suit tiny test volumes, so the sp
-    # Pallas path is opt-in there (TpuConfig.sp_pallas_cpu).
-    sp_eligible = scan_batch and (
-        model_def.compute_dtype != jnp.float32
-        or jax.default_backend() != "tpu"
-    ) and model_def._shard_widths_ok() and (
-        jax.default_backend() == "tpu" or sp_cpu
+    # The sp_axis model RAISES on ineligible configs rather than silently
+    # falling back, so every static gate must hold before building the sp
+    # step: pipeline eligibility (scan_batch above), a mesh size whose
+    # slabs are valid for every bucketed extent (sp_static_shapes_ok),
+    # and — off-TPU — the interpret-mode kernels only suit tiny test
+    # volumes, so the sp Pallas path is opt-in there
+    # (TpuConfig.sp_pallas_cpu).
+    from unetsulc_tpu.parallel.sp_pallas import sp_static_shapes_ok
+
+    sp_eligible = (
+        scan_batch
+        and sp_static_shapes_ok(spatial)
+        and (jax.default_backend() == "tpu" or sp_cpu)
     )
+    if spatial > 1 and not sp_eligible:
+        # loud fallback (round-2 precedent: no silent path cliffs) — fires
+        # once per model config thanks to the lru_cache
+        print(
+            f"spatial_parallel={spatial}: config ineligible for the "
+            "spatially-sharded Pallas pipeline (needs bf16 'crg' "
+            "interpolate dropout=0, shardable widths, space axis in "
+            "{2,4,8}); using the pjit auto-SPMD XLA path"
+        )
 
     if spatial > 1 and sp_eligible:
         # spatial sharding on the fused Pallas pipeline: the model clone

@@ -142,12 +142,21 @@ def sp_resize_to_slab(
     return out
 
 
-def sp_slab_shapes(x_glob: int, axis_name: str) -> int:
-    """Local slab extent S for a global X; asserts the even-slab contract."""
-    n = lax.axis_size(axis_name)
-    assert x_glob % n == 0 and (x_glob // n) % 2 == 0, (
-        f"spatial-parallel X={x_glob} must split into even slabs over "
-        f"{n} devices (bucket extents are multiples of 16, so any "
-        f"space axis up to 8 divides them)"
-    )
-    return x_glob // n
+def sp_static_shapes_ok(n: int) -> bool:
+    """True iff EVERY volume extent the data layer can produce splits into
+    valid slabs over ``n`` devices, so the sp Pallas step can be built
+    without risking a mid-training shape error.
+
+    The data layer only ever produces X extents that are multiples of 16
+    with minimum 32 (``data/voxelize.bucket_shape``: DEFAULT_BUCKET_SIZES
+    are multiples of 16, beyond-max rounds up to a multiple of 32, and
+    fixed sizes come from ``choose_static_size`` which buckets too).  The
+    slab contract is: X % n == 0 (shard_map divisibility), slab S = X/n
+    even (``conv_shards``'s paired-plane grid), and S >= 4 (the model's
+    minimum extent).  Requiring that for all X in {32, 48, 64, ...}:
+    n | gcd(32, 48) = 16; 48/n even rules out 16; 32/n >= 4 rules out > 8
+    — leaving exactly n in {2, 4, 8}.  Ineligible values fall back to the
+    pjit auto-SPMD XLA path (method/training.py _cached_steps) instead of
+    crashing when an awkward bucket appears mid-training.
+    """
+    return n in (2, 4, 8)

@@ -64,6 +64,54 @@ def _match_labels(logits, labels, background):
     return lp.reshape(g.Xp, g.plane)
 
 
+def _volume_forward_train(apply_fn, params, xi, lbi, num_classes, background):
+    """Per-volume train-mode forward -> (nll_sum, valid_count, confusion).
+
+    The shared body of every train step's per-volume path (single-device
+    scan, DP shard scan, SP shard): unnormalized NLL sum + valid-voxel
+    count so callers can form the exact global batch-mean after summing /
+    psum'ing across volumes and devices."""
+    logits = apply_fn(params, xi, train=True, padded_output=True)
+    lbl = _match_labels(logits, lbi, background)
+    nll, cnt = cross_entropy_sum(logits, lbl, background)
+    preds = jnp.argmax(logits, axis=-1)
+    cc = confusion_counts(lbl, preds, num_classes, background)
+    return nll, cnt, cc
+
+
+def _volume_forward_eval(
+    apply_fn, params, xi, lbi, num_classes, background,
+    apply_activation, final_sigmoid,
+):
+    """Per-volume eval-mode forward -> (nll_sum, valid_count, confusion).
+
+    Eval-mode quirk preserved: argmax/metrics on raw logits, the loss on
+    activation(logits) when ``apply_activation`` (the torch eval-mode
+    final activation, see make_eval_step)."""
+    logits = apply_fn(
+        params, xi, train=False, apply_final_activation=False,
+        padded_output=True,
+    )
+    lbl = _match_labels(logits, lbi, background)
+    preds = jnp.argmax(logits, axis=-1)
+    if apply_activation:
+        logits = _final_activation(logits, final_sigmoid)
+    nll, cnt = cross_entropy_sum(logits, lbl, background)
+    cc = confusion_counts(lbl, preds, num_classes, background)
+    return nll, cnt, cc
+
+
+def _scan_volumes(one_volume, inputs, labels):
+    """``lax.map`` a per-volume fn over the batch; sum the (nll, cnt, cc)
+    parts.  Each volume re-enters at batch 1, keeping the fused Pallas
+    pipeline's eligibility; sums are exact (grads follow by linearity)."""
+    nlls, cnts, ccs = jax.lax.map(
+        lambda args: one_volume(args[0][None], args[1][None]),
+        (inputs, labels),
+    )
+    return jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
+
+
 class TrainState(struct.PyTreeNode):
     """Functional training state (a pytree; flows through jit/pjit)."""
 
@@ -159,21 +207,14 @@ def make_train_step(
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
             if scan:
-                def one(args):
-                    xi, lbi = args
-                    logits = apply_fn(params, xi[None], train=True,
-                                      padded_output=True)
-                    lbl = _match_labels(logits, lbi[None], background)
-                    nll, cnt = cross_entropy_sum(logits, lbl, background)
-                    preds = jnp.argmax(logits, axis=-1)
-                    cc = confusion_counts(lbl, preds, num_classes, background)
-                    return nll, cnt, cc
-
-                nlls, cnts, ccs = jax.lax.map(one, (inputs, labels))
-                loss = jnp.sum(nlls) / jnp.maximum(
-                    jnp.sum(cnts), 1
-                ).astype(jnp.float32)
-                return loss, jnp.sum(ccs, axis=0)
+                nll, cnt, cc = _scan_volumes(
+                    lambda xi, lbi: _volume_forward_train(
+                        apply_fn, params, xi, lbi, num_classes, background
+                    ),
+                    inputs, labels,
+                )
+                loss = nll / jnp.maximum(cnt, 1).astype(jnp.float32)
+                return loss, cc
             if use_dropout:
                 rngs = {
                     "dropout": jax.random.fold_in(
@@ -243,30 +284,17 @@ def make_eval_step(
     deepsulci contract).  ``scan_batch`` as in :func:`make_train_step`.
     """
 
-    def one_volume(params, inputs, labels):
-        logits = apply_fn(
-            params, inputs, train=False, apply_final_activation=False,
-            padded_output=True,
-        )
-        lbl = _match_labels(logits, labels, background)
-        preds = jnp.argmax(logits, axis=-1)
-        if apply_activation:
-            logits = _final_activation(logits, final_sigmoid)
-        nll, cnt = cross_entropy_sum(logits, lbl, background)
-        counts = confusion_counts(lbl, preds, num_classes, background)
-        return nll, cnt, counts
-
     def step(params, inputs, labels):
+        def one(xi, lbi):
+            return _volume_forward_eval(
+                apply_fn, params, xi, lbi, num_classes, background,
+                apply_activation, final_sigmoid,
+            )
+
         if scan_batch and inputs.shape[0] > 1:
-            nlls, cnts, ccs = jax.lax.map(
-                lambda args: one_volume(params, args[0][None], args[1][None]),
-                (inputs, labels),
-            )
-            nll, cnt, counts = (
-                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
-            )
+            nll, cnt, counts = _scan_volumes(one, inputs, labels)
         else:
-            nll, cnt, counts = one_volume(params, inputs, labels)
+            nll, cnt, counts = one(inputs, labels)
         loss = nll / jnp.maximum(cnt, 1).astype(jnp.float32)
         return loss, counts
 
@@ -372,20 +400,13 @@ def make_train_step_dp(
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
             if scan:
-                def one(args):
-                    xi, lbi = args
-                    logits = apply_fn(params, xi[None], train=True,
-                                      padded_output=True)
-                    lbl = _match_labels(logits, lbi[None], background)
-                    nll, cnt = cross_entropy_sum(logits, lbl, background)
-                    preds = jnp.argmax(logits, axis=-1)
-                    cc = confusion_counts(
-                        lbl, preds, num_classes, background
-                    )
-                    return nll, cnt, cc
-
-                nlls, cnts, ccs = jax.lax.map(one, (inputs, labels))
-                return jnp.sum(nlls), (jnp.sum(cnts), jnp.sum(ccs, axis=0))
+                nll, cnt, cc = _scan_volumes(
+                    lambda xi, lbi: _volume_forward_train(
+                        apply_fn, params, xi, lbi, num_classes, background
+                    ),
+                    inputs, labels,
+                )
+                return nll, (cnt, cc)
             if use_dropout:
                 rngs = {
                     "dropout": jax.random.fold_in(
@@ -472,23 +493,18 @@ def make_train_step_sp(
     def per_shard(state: TrainState, inputs, labels):
         scan = scan_batch and inputs.shape[0] > 1
 
-        def one(params, xi, lbi):
-            logits = apply_fn(params, xi, train=True, padded_output=True)
-            lbl = _match_labels(logits, lbi, background)
-            nll, cnt = cross_entropy_sum(logits, lbl, background)
-            preds = jnp.argmax(logits, axis=-1)
-            cc = confusion_counts(lbl, preds, num_classes, background)
-            return nll, cnt, cc
-
         def loss_fn(trainable):
             params = freeze.merge(trainable, state.frozen)
-            if scan:
-                nlls, cnts, ccs = jax.lax.map(
-                    lambda args: one(params, args[0][None], args[1][None]),
-                    (inputs, labels),
+
+            def one(xi, lbi):
+                return _volume_forward_train(
+                    apply_fn, params, xi, lbi, num_classes, background
                 )
-                return jnp.sum(nlls), (jnp.sum(cnts), jnp.sum(ccs, axis=0))
-            nll, cnt, cc = one(params, inputs, labels)
+
+            if scan:
+                nll, cnt, cc = _scan_volumes(one, inputs, labels)
+            else:
+                nll, cnt, cc = one(inputs, labels)
             return nll, (cnt, cc)
 
         (nll, (cnt, counts)), grads = jax.value_and_grad(
@@ -542,30 +558,17 @@ def make_eval_step_sp(
 
     axes = ("data", "space")
 
-    def one_volume(params, inputs, labels):
-        logits = apply_fn(
-            params, inputs, train=False, apply_final_activation=False,
-            padded_output=True,
-        )
-        lbl = _match_labels(logits, labels, background)
-        preds = jnp.argmax(logits, axis=-1)
-        if apply_activation:
-            logits = _final_activation(logits, final_sigmoid)
-        nll, cnt = cross_entropy_sum(logits, lbl, background)
-        counts = confusion_counts(lbl, preds, num_classes, background)
-        return nll, cnt, counts
-
     def per_shard(params, inputs, labels):
+        def one(xi, lbi):
+            return _volume_forward_eval(
+                apply_fn, params, xi, lbi, num_classes, background,
+                apply_activation, final_sigmoid,
+            )
+
         if scan_batch and inputs.shape[0] > 1:
-            nlls, cnts, ccs = jax.lax.map(
-                lambda args: one_volume(params, args[0][None], args[1][None]),
-                (inputs, labels),
-            )
-            nll, cnt, counts = (
-                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
-            )
+            nll, cnt, counts = _scan_volumes(one, inputs, labels)
         else:
-            nll, cnt, counts = one_volume(params, inputs, labels)
+            nll, cnt, counts = one(inputs, labels)
         nll_g = jax.lax.psum(nll, axes)
         cnt_g = jax.lax.psum(cnt, axes)
         counts = jax.lax.psum(counts, axes)
@@ -598,30 +601,17 @@ def make_eval_step_dp(
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def one_volume(params, inputs, labels):
-        logits = apply_fn(
-            params, inputs, train=False, apply_final_activation=False,
-            padded_output=True,
-        )
-        lbl = _match_labels(logits, labels, background)
-        preds = jnp.argmax(logits, axis=-1)
-        if apply_activation:
-            logits = _final_activation(logits, final_sigmoid)
-        nll, cnt = cross_entropy_sum(logits, lbl, background)
-        counts = confusion_counts(lbl, preds, num_classes, background)
-        return nll, cnt, counts
-
     def per_shard(params, inputs, labels):
+        def one(xi, lbi):
+            return _volume_forward_eval(
+                apply_fn, params, xi, lbi, num_classes, background,
+                apply_activation, final_sigmoid,
+            )
+
         if scan_batch and inputs.shape[0] > 1:
-            nlls, cnts, ccs = jax.lax.map(
-                lambda args: one_volume(params, args[0][None], args[1][None]),
-                (inputs, labels),
-            )
-            nll, cnt, counts = (
-                jnp.sum(nlls), jnp.sum(cnts), jnp.sum(ccs, axis=0)
-            )
+            nll, cnt, counts = _scan_volumes(one, inputs, labels)
         else:
-            nll, cnt, counts = one_volume(params, inputs, labels)
+            nll, cnt, counts = one(inputs, labels)
         nll_g = jax.lax.psum(nll, "data")
         cnt_g = jax.lax.psum(cnt, "data")
         counts = jax.lax.psum(counts, "data")

@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -314,6 +315,29 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
     return batch * int(np.prod(volume)) * steps / dt
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """True iff jax backend init completes within ``timeout_s``.
+
+    TPU-tunnel outages make ANY jax backend init hang forever under the
+    default platform (CLAUDE.md); probing in a subprocess (same env, so
+    the same platform resolution) lets bench fail loudly with a JSON
+    error line instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from unetsulc_tpu.utils.cache import honor_platform_env;"
+             "honor_platform_env(); import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch-cpu-baseline", action="store_true")
@@ -327,6 +351,21 @@ def main():
     ap.add_argument("--sp", type=int, default=1, help="spatial-parallel axis")
     ap.add_argument("--check-equivalence", action="store_true")
     args = ap.parse_args()
+
+    if not args.torch_cpu_baseline and not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "unet3d_train_voxels_per_sec",
+                    "value": 0.0,
+                    "unit": "voxels/sec",
+                    "vs_baseline": 0.0,
+                    "error": "jax backend init did not complete in 300s "
+                    "(TPU tunnel outage? see CLAUDE.md)",
+                }
+            )
+        )
+        sys.exit(1)
 
     if args.dp or args.sp > 1:
         v = bench_multichip(

@@ -60,15 +60,20 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     summary = {}
-    for gfile in args.graphs:
-        graph = read_graph(gfile)
-        data = extract_data(graph)
-        bck2 = np.asarray(data["bck2"])
-        names = np.asarray(data["names"])
-        ytrue, ypred, yscores = method.labeling(
-            gfile, bck2=bck2, names=names
-        )
+
+    def finish(item):
+        """Fetch one dispatched graph's scores and write its outputs.
+
+        Runs one graph BEHIND the dispatch loop: the device computes
+        graph k+1's forward while this blocks on graph k's device->host
+        score transfer and does the host-side cutting/CSV work (same
+        software pipeline as the threshold sweep, method/base.py
+        test_thresholds).
+        """
+        gfile, data, names, handle = item
+        _, ypred, yscores = method._labeling_fetch(handle)
         ypred = np.asarray(ypred)
+        bck2 = np.asarray(data["bck2"])
         if threshold:
             ypred = cutting(yscores, data["vert"], bck2, threshold)
         pred_names = [method.sulci_side_list[y] for y in ypred]
@@ -83,6 +88,21 @@ def main():
             for (x, y, z), t, p in zip(data["nbck"], names, pred_names):
                 f.write(f"{x},{y},{z},{t},{p}\n")
         print(f"{gfile}: acc={acc:.4f} -> {out_csv}")
+
+    pending = None
+    for gfile in args.graphs:
+        graph = read_graph(gfile)
+        data = extract_data(graph)
+        bck2 = np.asarray(data["bck2"])
+        names = np.asarray(data["names"])
+        # dispatch first: the device works on this graph while finish()
+        # fetches + post-processes the previous one
+        handle = method._labeling_dispatch(gfile, bck2=bck2, names=names)
+        if pending is not None:
+            finish(pending)
+        pending = (gfile, data, names, handle)
+    if pending is not None:
+        finish(pending)
 
     with open(op.join(args.out_dir, "labeling_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -770,7 +770,7 @@ def conv_shards(
     kf_rows = ps if fold else ps + 2 * g.Zp
     kfold = (
         not (halo or edge_outputs)
-        and os.environ.get("UNETSULC_KFOLD9", "1") != "0"
+        and os.environ.get("UNETSULC_KFOLD9", "0") == "1"
         and kin * 3 * kf_rows * 9 * cs * x.dtype.itemsize <= _KFOLD9_BUDGET
     )
 

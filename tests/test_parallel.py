@@ -346,7 +346,8 @@ def _sp_pallas_setup(batch=1, size=16, seed=3):
 
     f32 compute keeps interpret-mode kernels exact, so sp-vs-single
     comparisons isolate the collectives (ring halos, GN-stat psums,
-    all_gather middle, row-sliced resize), not dtype noise."""
+    sharded pool + all_gather middle, row-sliced resize), not dtype
+    noise.  ``size`` may be an (X, Y, Z) tuple for non-cubic extents."""
     import jax
     import jax.numpy as jnp
 
@@ -356,12 +357,13 @@ def _sp_pallas_setup(batch=1, size=16, seed=3):
     model = UNet3D(in_channels=1, out_channels=3, init_channel_number=8,
                    compute_dtype=jnp.float32, pallas_blocks=True)
     rng = np.random.default_rng(seed)
-    inputs = (rng.random((batch, size, size, size, 1)) < 0.1).astype(
+    shape = (size,) * 3 if isinstance(size, int) else tuple(size)
+    inputs = (rng.random((batch,) + shape + (1,)) < 0.1).astype(
         np.float32
     )
     labels = np.where(
         inputs[..., 0] > 0,
-        rng.integers(0, 3, (batch, size, size, size)),
+        rng.integers(0, 3, (batch,) + shape),
         -1,
     ).astype(np.int32)
     params = model.init(
@@ -461,6 +463,100 @@ def test_sp_pallas_dp_combined_scan_batch(monkeypatch):
     np.testing.assert_array_equal(counts_1, counts_2)
     for a, b in zip(params_1, params_2):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sp_pallas_odd_post_pool_extents(monkeypatch):
+    """sp equivalence on a bucket whose post-pool extents go odd the way
+    real buckets do (VERDICT r3 item 8): X=48 pools to 25 -> 13 -> 7, so
+    the sharded level-1 pool's boundary pairs (left halo plane + slab
+    plane) and the trailing X/2 output plane are all exercised, plus the
+    row-sliced decoder-2 resize from an odd-extent middle.  Kernel config
+    matched (K-fold off) as in test_sp_pallas_full_model_equivalence."""
+    monkeypatch.setenv("UNETSULC_KFOLD9", "0")
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import make_train_step, make_train_step_sp
+
+    # (48, 8, 8) stays under the interpret-mode execution budget while
+    # keeping X large enough for sp=4 slabs (S=12)
+    model, state, inputs, labels = _sp_pallas_setup(size=(48, 8, 8))
+    step1 = make_train_step(make_apply_fn(model), num_classes=3,
+                            donate=False)
+    losses_1, counts_1, params_1 = _run_steps(state, step1, inputs, labels,
+                                              n=2)
+
+    mesh = make_mesh(data=1, space=4)
+    sp_apply = make_apply_fn(model.clone(sp_axis="space"))
+    step2 = make_train_step_sp(sp_apply, num_classes=3, mesh=mesh,
+                               donate=False)
+    bs = batch_sharding(mesh)
+    state_d = jax.device_put(state, replicate(mesh))
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+    losses_2, counts_2, params_2 = _run_steps(state_d, step2, in_d, lb_d,
+                                              n=2)
+    np.testing.assert_allclose(losses_1, losses_2, rtol=1e-5)
+    np.testing.assert_array_equal(counts_1, counts_2)
+    for a, b in zip(params_1, params_2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sp_memory_scales(monkeypatch):
+    """The sp step never replicates a full-resolution buffer (VERDICT r3
+    item 3): every all_gather in the lowered program is at most
+    pooled-size, so per-device peak activation memory scales ~1/n at
+    level 0 where the memory lives.
+
+    Pinned structurally on the lowered StableHLO rather than
+    memory_analysis(): on the CPU test backend the interpret-mode kernel
+    scratch dominates compiled temps (~400 MB at 64^3/16ch where the
+    design-relevant buffers are ~10 MB), so a byte assertion here would
+    pin noise.  The real per-device HBM numbers live in BASELINE.md
+    (TPU compile-only memory_analysis, scripts/sp_memory_tpu.py)."""
+    import re
+
+    from unetsulc_tpu.models import unet3d as unet3d_mod
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import make_train_step_sp
+
+    # lowering (no execution) is cheap at any size — lift the interpret
+    # execution budget to build the step at a realistic bucket shape
+    monkeypatch.setattr(unet3d_mod, "_INTERPRET_SIZE_LIMIT", 10**9)
+    V, init = 64, 16
+    model, state, _, _ = _sp_pallas_setup()
+    model = model.clone(init_channel_number=init, out_channels=8)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), train=True
+    )["params"]
+    from unetsulc_tpu.train.step import TrainState
+
+    state = TrainState.create(params, lr=0.05)
+    x = jnp.zeros((1, V, V, V, 1), jnp.float32)
+    lb = jnp.zeros((1, V, V, V), jnp.int32)
+    mesh = make_mesh(data=1, space=2)
+    sp_apply = make_apply_fn(model.clone(sp_axis="space"))
+    step = make_train_step_sp(sp_apply, num_classes=8, mesh=mesh,
+                              donate=False)
+    txt = step.lower(
+        jax.device_put(state, replicate(mesh)),
+        jax.device_put(x, batch_sharding(mesh)),
+        jax.device_put(lb, batch_sharding(mesh)),
+    ).as_text()
+
+    full_level0_elems = V * V * V * init
+    gathers = re.findall(
+        r'all_gather.*?->\s*tensor<([0-9x]+)x[a-z]', txt
+    ) or re.findall(
+        r'"stablehlo.all_gather".*?:\s*\([^)]*\)\s*->\s*tensor<([0-9x]+)x',
+        txt,
+    )
+    assert gathers, "expected at least one all_gather in the sp program"
+    for dims in gathers:
+        elems = int(np.prod([int(d) for d in dims.split("x")]))
+        assert elems <= full_level0_elems // 4, (
+            f"all_gather of {dims} ({elems} elements) is at or above "
+            f"full-resolution scale ({full_level0_elems} elements) — the "
+            "sp middle must gather only POOLED buffers"
+        )
 
 
 def test_cached_steps_pick_sp_pallas():

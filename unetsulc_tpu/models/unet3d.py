@@ -84,6 +84,11 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# largest interpret-mode (CPU test backend) volume the Pallas pipeline
+# will EXECUTE; see _pallas_eligible
+_INTERPRET_SIZE_LIMIT = 4096
+
+
 def pick_num_groups(channels: int, preferred: int = 32) -> int:
     """Largest divisor of ``channels`` that is <= ``preferred``.
 
@@ -388,6 +393,11 @@ class Encoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
     sp_axis: Optional[str] = None
+    # spatial-parallel boundary encoder (level 1): pool the sharded level-0
+    # slabs IN PLACE (the pool only needs the left halo plane) and
+    # all-gather the POOLED output for the replicated middle — never the
+    # full-resolution volume (parallel/sp_pallas.py sp_pool_gather)
+    sp_pool_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -397,14 +407,26 @@ class Encoder(nn.Module):
         )
         if self.pool:
             if isinstance(x, PallasVol):
-                # buffer-native pool: consumes the pending GN affine (max
-                # does not commute with it), first-match tie backward
-                # (torch semantics), stays in the row layout throughout
-                x = PallasVol(
-                    cp.max_pool_buf(x.buf, x.aff, x.g, _pallas_interpret()),
-                    None,
-                    cp.pool_geom(x.g),
-                )
+                if self.sp_pool_axis is not None:
+                    from unetsulc_tpu.parallel.sp_pallas import (
+                        sp_pool_gather,
+                    )
+
+                    buf, gg = sp_pool_gather(
+                        x.buf, x.aff, x.g, self.sp_pool_axis
+                    )
+                    x = PallasVol(buf, None, gg)
+                else:
+                    # buffer-native pool: consumes the pending GN affine
+                    # (max does not commute with it), first-match tie
+                    # backward (torch semantics), stays in the row layout
+                    x = PallasVol(
+                        cp.max_pool_buf(
+                            x.buf, x.aff, x.g, _pallas_interpret()
+                        ),
+                        None,
+                        cp.pool_geom(x.g),
+                    )
             else:
                 x = max_pool_3d(x)
         return DoubleConv(
@@ -691,8 +713,9 @@ class UNet3D(nn.Module):
     # spatial parallelism (SURVEY.md §2.2b, parallel/sp_pallas.py): name of
     # the mesh axis over which the input's X axis is sharded.  The forward
     # then runs the Pallas pipeline on local slabs: level 0 (encoder 0,
-    # decoder 2's pair convs, head) sharded with halo exchange, the middle
-    # levels replicated on the all-gathered volume.  Must only be set on
+    # encoder 1's pool, decoder 2's pair convs, head) sharded with halo
+    # exchange, the middle levels replicated on the all-gathered POOLED
+    # (1/8-size) volume.  Must only be set on
     # the model used INSIDE shard_map (train/step.py make_train_step_sp) —
     # it requires the axis to be bound and the Pallas pipeline eligible.
     sp_axis: Optional[str] = None
@@ -720,10 +743,12 @@ class UNet3D(nn.Module):
             self.compute_dtype != jnp.float32 or _pallas_interpret()
         )
         # interpret mode (CPU backend) emulates the kernels op by op —
-        # fine for test-sized volumes, pathological for real ones
+        # fine for test-sized volumes, pathological for real ones.
+        # Compile-only analyses (test_sp_memory_scales) monkeypatch the
+        # limit up: lowering big shapes is cheap, only execution isn't.
         size_ok = (
             not _pallas_interpret()
-            or int(np.prod(x.shape[1:4])) <= 4096
+            or int(np.prod(x.shape[1:4])) <= _INTERPRET_SIZE_LIMIT
         )
         return bool(
             self.pallas_blocks
@@ -778,21 +803,18 @@ class UNet3D(nn.Module):
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
                 sp_axis=sp if n == 0 else None,
+                # encoder 1 is the sp boundary: its pool runs on the local
+                # slabs and only the POOLED (1/8-size) output all-gathers
+                # for the replicated middle; the skip for decoder 2 stays
+                # the LOCAL slab (parallel/sp_pallas.py partition plan —
+                # post-pool extents are odd, X/2+1, so the middle levels
+                # replicate rather than grow uneven-slab machinery)
+                sp_pool_axis=sp if n == 1 else None,
                 name=f"encoders_{n}",
             )(x)
             if self.dropout > 0:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
             skips.insert(0, x)
-            if n == 0 and sp is not None and pallas:
-                # the skip for decoder 2 stays the LOCAL slab; the middle
-                # levels (encoders 1-3, decoders 0-1) run replicated on the
-                # all-gathered full volume — their post-pool extents are
-                # odd and would need uneven slabs (parallel/sp_pallas.py
-                # partition plan)
-                from unetsulc_tpu.parallel.sp_pallas import sp_gather
-
-                buf, gg = sp_gather(x.buf, x.g, sp)
-                x = PallasVol(buf, x.aff, gg)
         skips = skips[1:]  # deepest output is the decoder input, not a skip
 
         dec_chans = [

@@ -15,13 +15,18 @@ Partition plan (sp_forward in models/unet3d.py):
   the classification head run on local (S = X/n)-plane slabs.  Level 0
   is where the memory (96^3 x 64ch activation pairs) and >50% of the
   FLOPs live.
-* **Middle replicated** — after encoder 0 the interior planes all-gather
-  into the full-volume buffer (one bf16 collective over ICI) and
-  encoders 1-3 + decoders 0-1 run the unmodified single-device pipeline
-  identically on every device.  The post-pool extents (X/2+1 — odd) do
-  not divide evenly; replicating the middle keeps exact single-device
-  numerics where sharding would need uneven-slab machinery for a minor
-  fraction of the step.
+* **Pool sharded, POOLED middle replicated** — encoder 1's torch-padded
+  max pool runs on the local slabs (it needs only the left halo plane,
+  one ppermute) and the POOLED output all-gathers (one bf16 collective
+  over ICI, ~1/8 the full-resolution volume); encoders 1-3 + decoders
+  0-1 then run the unmodified single-device pipeline identically on
+  every device.  No full-resolution buffer is ever replicated, so
+  per-device peak activation memory scales with the mesh (the design
+  target for volumes exceeding one chip's HBM; pinned by
+  test_parallel.py::test_sp_memory_scales).  The post-pool extents
+  (X/2+1 — odd) do not divide evenly; replicating from there keeps
+  exact single-device numerics where sharding the middle would need
+  uneven-slab machinery for a minor fraction of the step's FLOPs.
 * **Re-shard at decoder 2** — the trilinear upsample back to full
   resolution computes only the local slab's rows (the X-axis
   interpolation matrix is row-sliced per shard), feeding the sharded
@@ -103,21 +108,96 @@ def ring_planes_5d(x5: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     )
 
 
-def sp_gather(buf: jnp.ndarray, g: cp.Geom, axis_name: str):
-    """All-gather local slab interiors into the full-volume buffer.
+def sp_pool_gather(
+    buf: jnp.ndarray,
+    aff: Optional[jnp.ndarray],
+    g: cp.Geom,
+    axis_name: str,
+):
+    """Spatially-sharded torch-padded max pool, then all-gather the POOLED
+    output into the replicated middle's buffer (VERDICT r3 item 3).
 
-    (K, S+2, plane, cs) shards -> ((K, n*S+2, plane, cs), global Geom).
-    The global X = n*S is even (bucket extents are multiples of 16), so
-    the global padded buffer is exactly one zero ring plane each side —
-    the same layout ``pad_to_geom`` builds single-device.
+    (K, S+2, plane, cs) local slabs (zero rings, optional pending GN
+    affine) -> ((K, gXp, plane', cs) replicated buffer, global pooled
+    Geom) where gX = n*S/2 + 1 — the torch MaxPool3d(2, 2, padding=1)
+    extent of the global X = n*S (ops/conv_pallas.py pool_geom).  Only the
+    POOLED volume is ever replicated: ~8x fewer elements than gathering
+    the full-resolution level-0 output, so per-device peak activation
+    memory scales with the mesh (the §2.2b design target; pinned by
+    tests/test_parallel.py::test_sp_memory_scales).
+
+    Plane bookkeeping (torch pools input pairs (2j-1, 2j) with -inf
+    padding, so pairs straddle the slab boundaries): shard k owns output
+    planes [k*S/2, (k+1)*S/2); its first pair's leading input is the left
+    neighbor's last plane — one ``ppermute``, masked to -inf on shard 0
+    where that position is the global pool padding.  The trailing output
+    plane gX-1 = the YZ-pool of global input plane X-1 is computed on the
+    last shard and broadcast with a one-plane masked ``psum``.  Values are
+    affine-normalized and cast to the storage dtype exactly as
+    ``max_pool_buf`` does single-device, so the result is bitwise the
+    all-gathered single-device pool (max commutes with resharding).
     """
     n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    k, xp, ps, cs = buf.shape
     s = g.X
-    interior = buf[:, 1 : s + 1]
-    full = lax.all_gather(interior, axis_name, axis=1, tiled=True)
-    gg = cp.make_geom(n * s, g.Y, g.Z)
-    assert gg.Xp == n * s + 2, (gg, n, s)
-    return jnp.pad(full, ((0, 0), (1, 1), (0, 0), (0, 0))), gg
+    assert xp == s + 2 and s % 2 == 0, (buf.shape, g)
+    gg = cp.pool_geom(cp.make_geom(n * s, g.Y, g.Z))
+    assert gg.Y == g.Y // 2 + 1 and gg.Z == g.Z // 2 + 1, (gg, g)
+
+    neg = jnp.asarray(-jnp.inf, buf.dtype)
+    b5 = buf.reshape(k, xp, g.Yp, g.Zp, cs)
+    if aff is not None:
+        a = aff[:, 0, :][:, None, None, None, :]
+        b = aff[:, 1, :][:, None, None, None, :]
+        xn = (b5.astype(jnp.float32) * a + b).astype(buf.dtype)
+    else:
+        xn = b5
+    mask_yz = jnp.asarray(
+        g.interior_mask_rows().reshape(g.Yp, g.Zp, 1) > 0
+    )
+    xn = jnp.where(mask_yz[None, None], xn, neg)
+    local = xn[:, 1 : s + 1]  # (k, S, Yp, Zp, cs) normalized real planes
+
+    from_left = lax.ppermute(
+        local[:, -1], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_left = jnp.where(idx > 0, from_left, neg)
+    planes = jnp.concatenate([from_left[:, None], local], axis=1)
+    pooled = lax.reduce_window(
+        planes,
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 2, 1),
+        (1, 2, 2, 2, 1),
+        "VALID",
+    )[:, :, : gg.Y, : gg.Z]  # (k, S/2, gY, gZ, cs) local output planes
+    full = lax.all_gather(pooled, axis_name, axis=1, tiled=True)
+
+    last_yz = lax.reduce_window(
+        local[:, -1],
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )[:, : gg.Y, : gg.Z]
+    last = lax.psum(
+        jnp.where(idx == n - 1, last_yz, jnp.zeros_like(last_yz)),
+        axis_name,
+    )
+    interior = jnp.concatenate([full, last[:, None]], axis=1)
+    out = jnp.pad(
+        interior,
+        (
+            (0, 0),
+            (1, gg.Xp - gg.X - 1),
+            (1, gg.Yp - gg.Y - 1),
+            (1, gg.Zp - gg.Z - 1),
+            (0, 0),
+        ),
+    )
+    return out.reshape(k, gg.Xp, gg.plane, cs), gg
 
 
 def sp_resize_to_slab(

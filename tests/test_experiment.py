@@ -73,6 +73,12 @@ def test_results_schema(experiment_results):
     ) == {10, 50}
     for sc in results["threshold_scores"].values():
         assert len(sc) == 3
+    # execution-path record, one per fold (VERDICT r3 item 7)
+    assert len(results["tpu"]) == 3
+    for rec in results["tpu"]:
+        assert rec["step"] == "single_device"
+        assert rec["kernels"] in ("pallas", "xla")
+        assert rec["sp_fallback"] is False
 
 
 def test_artifacts_on_disk(experiment_results):

@@ -569,9 +569,16 @@ def test_cached_steps_pick_sp_pallas():
     from unetsulc_tpu.train.step import TrainState
 
     model, state, inputs, labels = _sp_pallas_setup()
-    train_step, eval_step = _cached_steps(
+    train_step, eval_step, exec_path = _cached_steps(
         model, 3, 0.9, dp=1, spatial=2, sp_cpu=True
     )
+    assert exec_path == {
+        "step": "sp_pallas_shard_map",
+        "kernels": "pallas",
+        "data_parallel": 1,
+        "spatial_parallel": 2,
+        "sp_fallback": False,
+    }
     mesh = make_mesh(data=1, space=2)
     bs = batch_sharding(mesh)
     state_d = jax.device_put(state, replicate(mesh))
@@ -612,10 +619,13 @@ def test_cached_steps_sp_ineligible_mesh_falls_back(capsys):
     from unetsulc_tpu.method.training import _cached_steps
 
     model, state, inputs, labels = _sp_pallas_setup()
-    train_step, eval_step = _cached_steps(
+    train_step, eval_step, exec_path = _cached_steps(
         model, 3, 0.9, dp=1, spatial=3, sp_cpu=True
     )
     assert "auto-SPMD XLA path" in capsys.readouterr().out
+    # the results-JSON record surfaces the fallback (VERDICT r3 item 7)
+    assert exec_path["step"] == "pjit_auto_spmd"
+    assert exec_path["sp_fallback"] is True
     # the fallback steps are plain jits: they run unsharded on a volume
     # (16) that the sp shard_map would reject (16 % 3 != 0)
     state2, loss, counts = train_step(

@@ -51,7 +51,17 @@ import os
 @functools.lru_cache(maxsize=32)
 def _cached_steps(model_def, num_classes: int, momentum: float,
                   dp: int = 1, spatial: int = 1, sp_cpu: bool = False):
-    """One (train_step, eval_step) pair per (model config, mesh shape).
+    """One (train_step, eval_step, execution_path) triple per
+    (model config, mesh shape).
+
+    ``execution_path`` is the statically-resolved routing record the
+    method layer writes into the results JSON ``tpu`` key (VERDICT r3
+    item 7), so post-hoc analysis can see which path a fold actually
+    ran — in particular when a ``spatial_parallel`` request silently
+    fell back to the pjit auto-SPMD XLA path.  ``kernels: "pallas"``
+    means the fused pipeline is statically eligible; per-shape dynamic
+    gates (min extent, interpret-mode size) are in
+    models/unet3d.py::_pallas_eligible.
 
     flax modules are frozen (hashable) dataclasses, so this memoizes the
     jit wrappers across CV folds — without it every ``learning()`` call
@@ -111,6 +121,19 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
             "{2,4,8}); using the pjit auto-SPMD XLA path"
         )
 
+    path = {
+        "step": (
+            "sp_pallas_shard_map" if spatial > 1 and sp_eligible
+            else "pjit_auto_spmd" if spatial > 1
+            else "dp_shard_map" if dp > 1
+            else "single_device"
+        ),
+        "kernels": "pallas" if (sp_eligible or scan_batch) else "xla",
+        "data_parallel": dp,
+        "spatial_parallel": spatial,
+        "sp_fallback": bool(spatial > 1 and not sp_eligible),
+    }
+
     if spatial > 1 and sp_eligible:
         # spatial sharding on the fused Pallas pipeline: the model clone
         # with sp_axis='space' runs halo-mode kernels on local slabs
@@ -135,6 +158,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
                 sp_apply, num_classes, mesh,
                 final_sigmoid=model_def.final_sigmoid, scan_batch=True,
             ),
+            path,
         )
 
     if dp > 1 and spatial <= 1:
@@ -159,6 +183,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
                 final_sigmoid=model_def.final_sigmoid,
                 scan_batch=scan_batch,
             ),
+            path,
         )
 
     return (
@@ -173,6 +198,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
             apply_fn, num_classes, final_sigmoid=model_def.final_sigmoid,
             scan_batch=scan_batch,
         ),
+        path,
     )
 
 
@@ -349,7 +375,7 @@ class TrainingSulciLabeller(SulciLabeller):
         # # MODEL + STATE # #
         self._prepare_model_and_state(lr)
         num_classes = len(self.sulci_side_list)
-        train_step, eval_step = _cached_steps(
+        train_step, eval_step, exec_path = _cached_steps(
             self.model_def, num_classes, momentum,
             dp=dp, spatial=self.tpu.spatial_parallel,
             sp_cpu=self.tpu.sp_pallas_cpu,
@@ -381,6 +407,10 @@ class TrainingSulciLabeller(SulciLabeller):
             self.results["graphs_test"].append(list(gfile_list_test))
             self.results["graphs_train"].append(list(gfile_list_train))
             self.results["patience"] = patience
+            # resolved execution-path record, one per training (VERDICT r3
+            # item 7): which step/kernel path this fold actually ran,
+            # including silent spatial_parallel -> XLA fallbacks
+            self.results.setdefault("tpu", []).append(dict(exec_path))
             if batch_size > 1 and train_img_size is not None:
                 # ref training.py:152-158 records the fixed sizes
                 if num_training == 0:

@@ -316,12 +316,15 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
 
 
 def _probe_backend(timeout_s: int = 300) -> bool:
-    """True iff jax backend init completes within ``timeout_s``.
+    """True iff the backend initializes AND compiles within ``timeout_s``.
 
     TPU-tunnel outages make ANY jax backend init hang forever under the
     default platform (CLAUDE.md); probing in a subprocess (same env, so
     the same platform resolution) lets bench fail loudly with a JSON
-    error line instead of hanging the driver."""
+    error line instead of hanging the driver.  Round-3 lesson: during a
+    tunnel flap ``jax.devices()`` can succeed while every compile fails
+    UNAVAILABLE, so on non-CPU backends the probe runs a real jitted
+    matmul and checks the value (cf. scripts/tpu_probe_real.py)."""
     import subprocess
     import sys
 
@@ -329,7 +332,12 @@ def _probe_backend(timeout_s: int = 300) -> bool:
         r = subprocess.run(
             [sys.executable, "-c",
              "from unetsulc_tpu.utils.cache import honor_platform_env;"
-             "honor_platform_env(); import jax; jax.devices()"],
+             "honor_platform_env(); import jax; import jax.numpy as jnp;"
+             "d = jax.devices()[0];"
+             "v = (float(jax.jit(lambda a: (a @ a).astype(jnp.float32)"
+             ".sum())(jnp.ones((512, 512), jnp.bfloat16)))"
+             "     if d.platform != 'cpu' else float(512**3));"
+             "assert v == float(512**3), v"],
             timeout=timeout_s, capture_output=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -360,13 +368,31 @@ def main():
                     "value": 0.0,
                     "unit": "voxels/sec",
                     "vs_baseline": 0.0,
-                    "error": "jax backend init did not complete in 300s "
-                    "(TPU tunnel outage? see CLAUDE.md)",
+                    "error": "jax backend init+compile probe did not "
+                    "succeed in 300s (TPU tunnel outage? see CLAUDE.md)",
                 }
             )
         )
         sys.exit(1)
 
+    try:
+        _dispatch(args)
+    except Exception as e:  # noqa: BLE001 — the driver needs a JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "unet3d_train_voxels_per_sec",
+                    "value": 0.0,
+                    "unit": "voxels/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            )
+        )
+        sys.exit(1)
+
+
+def _dispatch(args):
     if args.dp or args.sp > 1:
         v = bench_multichip(
             max(args.dp, 1), args.sp,

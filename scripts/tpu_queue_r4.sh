@@ -83,13 +83,14 @@ for pass in 1 2 3; do
     python scripts/mxu_probe.py
   VERIFY="" run_script_stage prof /tmp/r4_prof.txt 3000 \
     python scripts/prof_step.py
-  # long accuracy runs last
-  VERIFY="mean val acc" run_script_stage flagship_p40 /tmp/flagship_p40.log \
-    14000 env EPOCHS=40 TAG=_p40 python scripts/flagship_e2e.py
-  VERIFY="mean val acc" run_script_stage flagship_x40 /tmp/flagship_x40.log \
-    14000 env NOPALLAS=1 EPOCHS=40 TAG=_x40 python scripts/flagship_e2e.py
-  VERIFY="" run_script_stage transfer40 /tmp/transfer40.log 14000 \
-    python scripts/transfer40.py
+  # long accuracy runs last: paired Pallas/XLA at the reference's ~100
+  # epoch scale (r3 data: 20 epochs x 3 folds = 410s wall, so ~35 min/arm)
+  VERIFY="mean val acc" run_script_stage flagship_p100 /tmp/flagship_p100.log \
+    14000 env EPOCHS=100 TAG=_p100 python scripts/flagship_e2e.py
+  VERIFY="mean val acc" run_script_stage flagship_x100 /tmp/flagship_x100.log \
+    14000 env NOPALLAS=1 EPOCHS=100 TAG=_x100 python scripts/flagship_e2e.py
+  VERIFY="mean val acc" run_script_stage transfer100 /tmp/transfer100.log \
+    14000 env TAG=_p100 python scripts/transfer40.py
   if ls "$STATE" | grep -c '\.ok$' | grep -q '^9$'; then
     log "ALL DONE"; exit 0
   fi

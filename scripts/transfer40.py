@@ -1,5 +1,6 @@
-"""Transfer continuation for the r3 flagship evidence refresh: load the
-40-epoch Pallas trunk, swap the head, freeze, train, fine-tune (20 ep)."""
+"""Transfer continuation for the flagship evidence refresh: load the
+converged Pallas trunk (TAG env, default the 100-epoch run), swap the
+head, freeze, train, fine-tune (20 ep)."""
 import glob, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
@@ -8,7 +9,8 @@ from unetsulc_tpu.experiment.driver import run_experiment
 from unetsulc_tpu.utils.cache import enable_compilation_cache
 
 root = "/tmp/flagship_run"
-mdsm = sorted(glob.glob(os.path.join(root, "models", "FlagshipModel_p40",
+tag = os.environ.get("TAG", "_p100")
+mdsm = sorted(glob.glob(os.path.join(root, "models", "FlagshipModel" + tag,
                                      "*_cv0_model.mdsm")))[0]
 params = Parameters.from_dict({
     "working_path": root, "learning": "transfer_learning", "cuda": -1,

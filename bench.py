@@ -45,7 +45,15 @@ def _make_batch(rng, batch, volume):
     return inputs, labels
 
 
-def bench_jax(batch: int = BATCH) -> float:
+# BASELINE.json transfer configs -> torch-name freeze prefixes
+# (ref transfer_learning.py:330-335 semantics; see train/freeze.py)
+FREEZE_CONFIGS = {
+    "final_conv": ["final_conv"],
+    "decoders": ["final_conv", "decoders.2", "decoders.1", "decoders.0"],
+}
+
+
+def bench_jax(batch: int = BATCH, freeze: Optional[str] = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +76,10 @@ def bench_jax(batch: int = BATCH) -> float:
     from unetsulc_tpu.models.unet3d import make_apply_fn
 
     apply_fn = make_apply_fn(model)
-    state = TrainState.create(params, lr=0.01)
+    state = TrainState.create(
+        params, lr=0.01,
+        training_layers=FREEZE_CONFIGS[freeze] if freeze else None,
+    )
     # batch>1 scans per-volume forwards so every volume keeps the fused
     # Pallas pipeline (train/step.py scan_batch; VERDICT r2 item 5)
     step = make_train_step(
@@ -355,6 +366,11 @@ def main():
         help="train-step batch size (batch>1 scans volumes on the fused "
         "pipeline)",
     )
+    ap.add_argument(
+        "--freeze", choices=sorted(FREEZE_CONFIGS), default=None,
+        help="bench a BASELINE.json transfer config: train step with the "
+        "named trainable set (frozen subtrees are dead-code-eliminated)",
+    )
     ap.add_argument("--dp", type=int, default=0, help="data-parallel axis")
     ap.add_argument("--sp", type=int, default=1, help="spatial-parallel axis")
     ap.add_argument("--check-equivalence", action="store_true")
@@ -393,6 +409,10 @@ def main():
 
 
 def _dispatch(args):
+    from unetsulc_tpu.utils.cache import honor_platform_env
+
+    honor_platform_env()  # the axon PJRT plugin stomps JAX_PLATFORMS
+
     if args.dp or args.sp > 1:
         v = bench_multichip(
             max(args.dp, 1), args.sp,
@@ -441,11 +461,14 @@ def _dispatch(args):
         )
         return
 
-    v = bench_jax(batch=args.batch)
+    v = bench_jax(batch=args.batch, freeze=args.freeze)
+    metric = "unet3d_train_voxels_per_sec_per_chip"
+    if args.freeze:
+        metric += f"_freeze_{args.freeze}"
     print(
         json.dumps(
             {
-                "metric": "unet3d_train_voxels_per_sec_per_chip",
+                "metric": metric,
                 "value": round(v, 1),
                 "unit": "voxels/sec",
                 "vs_baseline": round(v / TORCH_CPU_BASELINE_VOXELS_PER_SEC, 2),

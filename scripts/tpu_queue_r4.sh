@@ -79,6 +79,9 @@ for pass in 1 2 3; do
   ARGS="" run_bench_stage bench_kfold9 /tmp/bench_r4_kfold9.json 2400 UNETSULC_KFOLD9=1
   ARGS="--batch 2" run_bench_stage bench_b2 /tmp/bench_r4_b2.json 2400 UNUSED=
   ARGS="--latency" run_bench_stage bench_lat /tmp/bench_r4_lat.json 2400 UNUSED=
+  # BASELINE.json transfer configs on the final kernel set (VERDICT r3 #6)
+  ARGS="--freeze final_conv" run_bench_stage bench_fc /tmp/bench_r4_fc.json 2400 UNUSED=
+  ARGS="--freeze decoders" run_bench_stage bench_dec /tmp/bench_r4_dec.json 2400 UNUSED=
   VERIFY="roofline" run_script_stage mxu  /tmp/r4_mxu.log  3000 \
     python scripts/mxu_probe.py
   VERIFY="" run_script_stage prof /tmp/r4_prof.txt 3000 \
@@ -91,8 +94,8 @@ for pass in 1 2 3; do
     14000 env NOPALLAS=1 EPOCHS=100 TAG=_x100 python scripts/flagship_e2e.py
   VERIFY="mean val acc" run_script_stage transfer100 /tmp/transfer100.log \
     14000 env TAG=_p100 python scripts/transfer40.py
-  if ls "$STATE" | grep -c '\.ok$' | grep -q '^9$'; then
+  if ls "$STATE" | grep -c '\.ok$' | grep -q '^11$'; then
     log "ALL DONE"; exit 0
   fi
 done
-log "EXHAUSTED PASSES ($(ls "$STATE" | grep -c '\.ok$')/9 ok)"
+log "EXHAUSTED PASSES ($(ls "$STATE" | grep -c '\.ok$')/11 ok)"

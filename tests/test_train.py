@@ -495,3 +495,23 @@ def test_scan_batch_engages_pallas_pipeline():
         outs[scan] = (float(loss), np.asarray(counts))
     np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
+def test_bench_freeze_configs_match_freeze_api():
+    """bench.py --freeze names the BASELINE.json transfer configs; pin the
+    prefix lists against the freeze API so the driver-verifiable bench
+    measures what BASELINE.md's per-config table says it measures
+    (VERDICT r3 item 6)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import FREEZE_CONFIGS
+
+    _, params, _, _, _ = _setup()
+    names = trainable_names(params, FREEZE_CONFIGS["final_conv"])
+    assert names == ["final_conv.bias", "final_conv.weight"]
+    names = trainable_names(params, FREEZE_CONFIGS["decoders"])
+    assert any(n.startswith("decoders.0.") for n in names)
+    assert any(n.startswith("decoders.2.") for n in names)
+    assert not any(n.startswith("encoders.") for n in names)

@@ -207,6 +207,58 @@ def bench_label_latency() -> float:
             }
         )
     )
+
+    # production threshold-sweep pattern (method/base.py test_thresholds,
+    # tpu.device_vote): the score matrix stays on device; per volume the
+    # host fetches the small ypred, computes each threshold's
+    # re-segmentation (cut_part_ids — real host work, included), and
+    # fetches only the (T, n_parts) vote table.  Synthetic fold geometry
+    # at realistic scale: ~60 elementary folds over the bucket voxels.
+    from unetsulc_tpu.ops.cutting import cut_part_ids_multi
+    from unetsulc_tpu.train.step import make_vote_fn
+
+    n_real = 30000
+    bck2 = rng.integers(0, VOLUME[0], size=(n_real, 3))
+    # realistic fold geometry: elementary folds are spatially compact, so
+    # derive the fold id from a coarse grid cell of the coordinates (the
+    # cutting cost depends on per-fold bounding boxes, and scattering a
+    # fold across the whole volume would bench an impossible worst case)
+    cell = max(1, VOLUME[0] // 4)
+    vert = (
+        (bck2[:, 0] // cell) * 16 + (bck2[:, 1] // cell) * 4 + bck2[:, 2] // cell
+    )
+    thresholds = [50, 100, 150]  # BASELINE.json inference config
+    vote = make_vote_fn()
+    handles = []
+
+    def sweep(handle):
+        ypred = np.asarray(handle[0])[:n_real]
+        parts = cut_part_ids_multi(ypred, vert, bck2, thresholds)
+        p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
+        pid = np.full((len(thresholds), n_pad), p_pad, np.int32)
+        pid[:, :n_real] = parts
+        np.asarray(vote(handle[1], jnp.asarray(pid), p_pad))
+
+    sweep(label(params, x, *c))  # compile the vote executable
+    t0 = time.perf_counter()
+    for _ in range(n_vols):
+        handles.append(label(params, x, *c))
+        if len(handles) > 1:
+            sweep(handles.pop(0))
+    for h in handles:
+        sweep(h)
+    sweep_amortized = (time.perf_counter() - t0) / n_vols
+    print(
+        json.dumps(
+            {
+                "metric": "label_sweep_latency_amortized_device_vote",
+                "value": round(sweep_amortized * 1e3, 1),
+                "unit": "ms/volume",
+                "n_volumes": n_vols,
+                "thresholds": thresholds,
+            }
+        )
+    )
     return p50
 
 

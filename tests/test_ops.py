@@ -297,3 +297,40 @@ def test_max_pool_3d_matches_torch_incl_tie_gradients():
         ot.backward(torch.tensor(np.moveaxis(g, -1, 1)))
         np.testing.assert_array_equal(out, np.moveaxis(ot.detach().numpy(), 1, -1))
         np.testing.assert_array_equal(dx, np.moveaxis(xt.grad.numpy(), 1, -1))
+
+
+def test_device_vote_matches_host_cutting():
+    """The threshold sweep's device-side vote (cut_part_ids on host +
+    make_vote_fn segment-sum argmax on device) must reproduce the public
+    host ``cutting`` exactly — it is the same partition and the same
+    summed-score vote, only the reduction runs where the scores already
+    live (method/base.py test_thresholds device_vote path)."""
+    from unetsulc_tpu.ops.cutting import cut_part_ids
+    from unetsulc_tpu.train.step import make_vote_fn
+
+    rng = np.random.default_rng(7)
+    n, c = 500, 9
+    logits = rng.normal(size=(n, c))
+    yscores = (np.exp(logits) / np.exp(logits).sum(1, keepdims=True)).astype(
+        np.float32
+    )
+    bck2 = rng.integers(0, 24, size=(n, 3))
+    vert = rng.integers(0, 6, size=n)
+    ypred = np.argmax(yscores, axis=1)
+    ths = [2, 5, 20]
+
+    parts = np.stack([cut_part_ids(ypred, vert, bck2, th) for th in ths])
+    p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
+    n_pad = 512  # simulate the coord bucket: garbage score rows past n
+    scores_pad = rng.normal(size=(n_pad, c)).astype(np.float32)
+    scores_pad[:n] = yscores
+    pid = np.full((len(ths), n_pad), p_pad, np.int32)
+    pid[:, :n] = parts
+
+    votes = np.asarray(
+        make_vote_fn()(jnp.asarray(scores_pad), jnp.asarray(pid), p_pad)
+    )
+    assert votes.shape == (len(ths), p_pad)
+    for t, th in enumerate(ths):
+        expected = cutting(yscores, vert, bck2, th)
+        np.testing.assert_array_equal(votes[t, parts[t]], expected)

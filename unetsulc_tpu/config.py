@@ -134,6 +134,11 @@ class TpuConfig:
     sp_pallas_cpu: bool = False
     # host->device prefetch depth
     prefetch: int = 2
+    # threshold sweep votes on device (train/step.py make_vote_fn): only
+    # the small ypred + per-part vote tables cross the link instead of
+    # the full (n_voxels x classes) score matrix per volume.  False =
+    # reference-shaped path (fetch scores, ops/cutting.py on host).
+    device_vote: bool = True
     # reference parity: rebuild optimizer (reset momentum) on lr division
     reset_momentum_on_divide: bool = True
     # rematerialize U-Net blocks in backward (memory for FLOPs trade)

@@ -36,9 +36,9 @@ from unetsulc_tpu.models.torch_interop import (
     state_dict_from_params,
 )
 from unetsulc_tpu.models.unet3d import UNet3D
-from unetsulc_tpu.ops.cutting import cutting
+from unetsulc_tpu.ops.cutting import cut_part_ids_multi, cutting
 from unetsulc_tpu.ops.esi import esi_score
-from unetsulc_tpu.train.step import make_label_fn
+from unetsulc_tpu.train.step import make_label_fn, make_vote_fn
 
 # BrainVISA container fallbacks (ref pattern_class.py:152-172)
 from unetsulc_tpu.config import _DEFAULT_MODELS, _DEFAULT_PARAMS
@@ -312,17 +312,25 @@ class SulciLabeller:
             self.dict_scores[th] = []
 
         def finish(item) -> None:
-            """Fetch one dispatched volume's scores and run its sweep.
+            """Fetch one dispatched volume's results and run its sweep.
 
             Runs one volume BEHIND the dispatch loop, so the device
-            computes volume k+1's forward during volume k's score fetch
-            (~130 ms through the axon tunnel) and host-side cutting —
-            the reference labels strictly serially
+            computes volume k+1's forward during volume k's fetch and
+            host-side cutting — the reference labels strictly serially
             (ref pattern_class.py:177-245); scores and results are
-            identical, only the idle time goes."""
+            identical, only the idle time goes.
+
+            With ``tpu.device_vote`` (default) the score matrix never
+            leaves the device: the host fetches the small per-voxel
+            ``ypred``, computes each threshold's re-segmentation
+            (``cut_part_ids`` — geometry only), and the per-part score
+            vote runs on device (``make_vote_fn``), so only a
+            (T, n_parts) vote table crosses the link instead of the
+            ~4 MB/volume score transfer that dominates tunnel latency
+            (BASELINE.md).  ``device_vote: false`` keeps the
+            reference-shaped path (fetch scores, vote on host)."""
             gfile, gfile_notcut, host, handle = item
             nbck, bck2, names, nbck_notcut, vert_notcut = host
-            _, _, yscores = self._labeling_fetch(handle)
 
             if len(nbck) != len(nbck_notcut):
                 # alignment impossible (ref pattern_class.py:220-225)
@@ -344,10 +352,38 @@ class SulciLabeller:
             vert_aligned = np.empty(len(nbck), dtype=vert_notcut.dtype)
             vert_aligned[order_cut] = vert_notcut[order_uncut]
 
-            for threshold in threshold_range:
-                ypred_cut_ids = cutting(
-                    yscores, vert_aligned, bck2, threshold
+            if self.tpu.device_vote:
+                n = handle["n"]
+                ypred = np.asarray(handle["ypred_d"])[:n]
+                # (T, n) dense part ids; the per-(fold,label) components
+                # are shared across the sweep's thresholds
+                parts = cut_part_ids_multi(
+                    ypred, vert_aligned, bck2, threshold_range
                 )
+                # bucket the part-axis so the jitted vote executable is
+                # reused across graphs; padded voxel rows -> dump segment
+                p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
+                n_pad = int(handle["yscores_d"].shape[0])
+                pid = np.full((len(parts), n_pad), p_pad, np.int32)
+                pid[:, :n] = parts
+                if "vote" not in self._predict_fns:
+                    self._predict_fns["vote"] = make_vote_fn()
+                votes = np.asarray(
+                    self._predict_fns["vote"](
+                        handle["yscores_d"], jnp.asarray(pid), p_pad
+                    )
+                )  # (T, p_pad) per-part label ids
+                per_th_ids = (
+                    votes[t, parts[t]] for t in range(len(parts))
+                )
+            else:
+                _, _, yscores = self._labeling_fetch(handle)
+                per_th_ids = (
+                    cutting(yscores, vert_aligned, bck2, threshold)
+                    for threshold in threshold_range
+                )
+
+            for threshold, ypred_cut_ids in zip(threshold_range, per_th_ids):
                 ypred_cut = [self.sulci_side_list[y] for y in ypred_cut_ids]
                 self.dict_scores[threshold].append(
                     (1 - esi_score(names, ypred_cut, self.sslist)) * 100

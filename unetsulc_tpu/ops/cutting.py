@@ -69,6 +69,101 @@ def _nearest_assignment(
     return np.asarray(idx)
 
 
+def cut_part_ids_multi(
+    ypred,
+    vert_notcut,
+    bck2,
+    thresholds,
+) -> np.ndarray:
+    """Per-voxel part id of the threshold-gated re-segmentation, for every
+    threshold of a sweep at once: returns (T, n) dense part ids.
+
+    This is the *geometry* half of :func:`cutting`: everything except the
+    score vote depends only on the per-voxel argmax labels (``ypred``),
+    the elementary-fold ids, the voxel coordinates and the threshold —
+    NOT on the score magnitudes.  Splitting it out lets the threshold
+    sweep keep the (n_voxels, n_classes) score matrix on device and vote
+    there (train/step.py ``make_vote_fn``): the host only ever sees the
+    small ``ypred`` fetch and the per-part vote results, instead of the
+    ~4 MB/volume score transfer that dominates label latency through the
+    axon tunnel.
+
+    Computing all thresholds together shares the expensive per-(fold,
+    label) connected-components pass (threshold-independent: components
+    of a label's voxels within a fold are the same whatever the cut
+    threshold); only the cheap big-label gating and minority attachment
+    run per threshold.
+
+    Part ids are dense and globally unique across folds per threshold row
+    (0..n_parts_t-1).
+    """
+    ypred = np.asarray(ypred)
+    vert = np.asarray(vert_notcut)
+    bck2 = np.asarray(bck2, dtype=np.int64)
+    n = len(ypred)
+    assert len(vert) == n and len(bck2) == n, "misaligned cutting inputs"
+    thresholds = list(thresholds)
+    t_n = len(thresholds)
+    th_min = min(thresholds)
+
+    part = np.full((t_n, n), -1, dtype=np.int64)
+    next_part = np.zeros(t_n, dtype=np.int64)
+
+    for v in np.unique(vert):
+        idx = np.nonzero(vert == v)[0]
+        preds = ypred[idx]
+        labels, counts = np.unique(preds, return_counts=True)
+        pts = bck2[idx]
+
+        # components once per label that any threshold can keep
+        comps = {
+            int(lab): _components(pts[preds == lab])
+            for lab in labels[counts >= th_min]
+        }
+
+        for t, threshold in enumerate(thresholds):
+            big = labels[counts >= threshold]
+
+            if len(big) <= 1:
+                # no cut: the whole fold is one part
+                part[t, idx] = next_part[t]
+                next_part[t] += 1
+                continue
+
+            is_big = np.isin(preds, big)
+            part_id = np.full(len(idx), -1, dtype=np.int64)
+            local_next = 0
+            # split each surviving label's voxels into their components
+            for lab in big:
+                sel = np.nonzero(preds == lab)[0]
+                comp = comps[int(lab)]
+                for c in np.unique(comp):
+                    part_id[sel[comp == c]] = local_next
+                    local_next += 1
+            # attach sub-threshold minority voxels to the nearest
+            # surviving part
+            small = np.nonzero(~is_big)[0]
+            if len(small):
+                anchors = np.nonzero(is_big)[0]
+                nearest = _nearest_assignment(pts[small], pts[anchors])
+                part_id[small] = part_id[anchors[nearest]]
+            part[t, idx] = next_part[t] + part_id
+            next_part[t] += local_next
+
+    return part
+
+
+def cut_part_ids(
+    ypred,
+    vert_notcut,
+    bck2,
+    threshold: int,
+) -> np.ndarray:
+    """Per-voxel part id of one threshold's re-segmentation (n,); see
+    :func:`cut_part_ids_multi`."""
+    return cut_part_ids_multi(ypred, vert_notcut, bck2, [threshold])[0]
+
+
 def cutting(
     yscores,
     vert_notcut,
@@ -77,46 +172,14 @@ def cutting(
 ) -> np.ndarray:
     """Return per-voxel predicted label ids after fold cutting."""
     yscores = np.asarray(yscores, dtype=np.float64)
-    vert = np.asarray(vert_notcut)
-    bck2 = np.asarray(bck2, dtype=np.int64)
     n = len(yscores)
-    assert len(vert) == n and len(bck2) == n, "misaligned cutting inputs"
 
     ypred = np.argmax(yscores, axis=1)
+    part = cut_part_ids(ypred, vert_notcut, bck2, threshold)
+
+    # relabel each part by majority vote of summed scores
     out = np.empty(n, dtype=np.int64)
-
-    for v in np.unique(vert):
-        idx = np.nonzero(vert == v)[0]
-        scores = yscores[idx]
-        preds = ypred[idx]
-        labels, counts = np.unique(preds, return_counts=True)
-        big = labels[counts >= threshold]
-
-        if len(big) <= 1:
-            # no cut: whole-fold majority vote on summed scores
-            out[idx] = int(np.argmax(scores.sum(axis=0)))
-            continue
-
-        pts = bck2[idx]
-        is_big = np.isin(preds, big)
-        part_id = np.full(len(idx), -1, dtype=np.int64)
-        next_part = 0
-        # split each surviving label's voxels into connected components
-        for lab in big:
-            sel = np.nonzero(preds == lab)[0]
-            comp = _components(pts[sel])
-            for c in np.unique(comp):
-                part_id[sel[comp == c]] = next_part
-                next_part += 1
-        # attach sub-threshold minority voxels to the nearest surviving part
-        small = np.nonzero(~is_big)[0]
-        if len(small):
-            anchors = np.nonzero(is_big)[0]
-            nearest = _nearest_assignment(pts[small], pts[anchors])
-            part_id[small] = part_id[anchors[nearest]]
-        # relabel each part by majority vote of summed scores
-        for p in np.unique(part_id):
-            sel = part_id == p
-            out[idx[sel]] = int(np.argmax(scores[sel].sum(axis=0)))
-
+    for p in np.unique(part):
+        sel = part == p
+        out[sel] = int(np.argmax(yscores[sel].sum(axis=0)))
     return out

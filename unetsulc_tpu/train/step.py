@@ -345,6 +345,41 @@ def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
     return label
 
 
+def make_vote_fn():
+    """Jitted per-part score vote for the cutting threshold sweep.
+
+    ``(scores (n_pad, C), part_ids (T, n_pad) int32, num_parts static)
+    -> (T, num_parts) int32`` — for every threshold's re-segmentation
+    (ops/cutting.py ``cut_part_ids``, host-side, geometry-only), sum the
+    class scores within each part and argmax.
+
+    This keeps :func:`make_label_fn`'s (n_voxels x classes) score matrix
+    on device for the whole sweep: the host fetches only the small
+    per-voxel ``ypred`` (to compute the partition) and the (T, num_parts)
+    vote table, instead of the ~4 MB/volume score transfer that dominates
+    label latency through tunneled links (BASELINE.md).  The reference
+    fetches the full probability matrix per volume and votes on host
+    (ref pattern_class.py:177-245).
+
+    Padded voxel rows must carry part id ``num_parts`` (a dump segment
+    sliced off before the argmax).  Callers bucket ``num_parts`` so the
+    executable is reused across graphs.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def vote(scores, part_ids, num_parts):
+        s = scores.astype(jnp.float32)
+
+        def one(pid):
+            sums = jax.ops.segment_sum(s, pid, num_segments=num_parts + 1)
+            return jnp.argmax(sums[:num_parts], axis=-1).astype(jnp.int32)
+
+        return jax.vmap(one)(part_ids)
+
+    return vote
+
+
 def make_predict_fn(
     apply_fn: Callable,
     apply_activation: bool = True,

@@ -68,8 +68,12 @@ def evaluate_cohort(
 
     wp = working_path or method.working_path
     rows = []
-    for gfile in gfile_list:
-        ytrue, ypred, _ = method.labeling(gfile)
+
+    def finish(gfile, handle) -> None:
+        # the CSV needs only ytrue/ypred: skip the score fetch, and run
+        # one volume behind the dispatch loop so the device computes
+        # graph k+1's forward during graph k's fetch + row building
+        ytrue, ypred, _ = method._labeling_fetch(handle, fetch_scores=False)
         row = {"subject": op.basename(gfile)}
         row.update(
             _row_for_subject(
@@ -77,6 +81,14 @@ def evaluate_cohort(
             )
         )
         rows.append(row)
+
+    pending = []
+    for gfile in gfile_list:
+        pending.append((gfile, method._labeling_dispatch(gfile)))
+        if len(pending) > 1:
+            finish(*pending.pop(0))
+    for item in pending:
+        finish(*item)
     out_dir = op.join(wp, "evaluations", model_name, cv_name)
     os.makedirs(out_dir, exist_ok=True)
     out = op.join(out_dir, cohort_eval + ".csv")

@@ -276,10 +276,18 @@ class SulciLabeller:
         }
 
     @staticmethod
-    def _labeling_fetch(handle: dict):
-        """Block on the device->host transfer of a dispatched labeling."""
+    def _labeling_fetch(handle: dict, fetch_scores: bool = True):
+        """Block on the device->host transfer of a dispatched labeling.
+
+        ``fetch_scores=False`` leaves the (n_voxels x classes) score
+        matrix on device (yscores is None): callers that only need the
+        predicted labels — e.g. the evaluation CSV producer — skip the
+        ~4 MB/volume transfer that dominates label latency on tunneled
+        links."""
         n = handle["n"]
         ypred = np.asarray(handle["ypred_d"])[:n].tolist()
+        if not fetch_scores:
+            return handle["ytrue"], ypred, None
         # f16 transfer dtype (train/step.make_label_fn) -> f32 for cutting
         yscores = np.asarray(handle["yscores_d"])[:n].astype(np.float32)
         return handle["ytrue"], ypred, yscores

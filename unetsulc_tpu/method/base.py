@@ -360,6 +360,11 @@ class SulciLabeller:
             vert_aligned = np.empty(len(nbck), dtype=vert_notcut.dtype)
             vert_aligned[order_cut] = vert_notcut[order_uncut]
 
+            if len(threshold_range) == 0:
+                # nothing to sweep (e.g. a resumed fold whose thresholds
+                # are already recorded); don't fetch anything
+                return
+
             if self.tpu.device_vote:
                 n = handle["n"]
                 ypred = np.asarray(handle["ypred_d"])[:n]

@@ -104,6 +104,8 @@ def cut_part_ids_multi(
     assert len(vert) == n and len(bck2) == n, "misaligned cutting inputs"
     thresholds = list(thresholds)
     t_n = len(thresholds)
+    if t_n == 0:
+        return np.zeros((0, n), dtype=np.int64)
     th_min = min(thresholds)
 
     part = np.full((t_n, n), -1, dtype=np.int64)

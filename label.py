@@ -71,11 +71,18 @@ def main():
         test_thresholds).
         """
         gfile, data, names, handle = item
-        _, ypred, yscores = method._labeling_fetch(handle)
-        ypred = np.asarray(ypred)
         bck2 = np.asarray(data["bck2"])
-        if threshold:
+        if threshold and method.tpu.device_vote:
+            # score matrix stays on device: fetch ypred, vote there
+            ypred = method._cut_labels_device(
+                handle, data["vert"], bck2, [threshold]
+            )[0]
+        elif threshold:
+            _, _, yscores = method._labeling_fetch(handle)
             ypred = cutting(yscores, data["vert"], bck2, threshold)
+        else:
+            _, ypred, _ = method._labeling_fetch(handle, fetch_scores=False)
+            ypred = np.asarray(ypred)
         pred_names = [method.sulci_side_list[y] for y in ypred]
         acc = 1 - esi_score(names, pred_names, method.sslist)
         summary[gfile] = {"esi_accuracy": acc, "n_voxels": len(bck2)}

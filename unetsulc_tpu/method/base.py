@@ -304,6 +304,40 @@ class SulciLabeller:
             self._labeling_dispatch(gfile, bck2, names, imgsize)
         )
 
+    def _cut_labels_device(self, handle: dict, vert, bck2, thresholds):
+        """Device-voted cutting for a dispatched labeling: (T, n) per-voxel
+        label ids, one row per threshold — ``cutting()`` results computed
+        without fetching the score matrix.
+
+        The host fetches only the per-voxel argmax (to run the
+        geometry-only re-segmentation, ``cut_part_ids_multi``) and a
+        (T, n_parts) vote table; the summed-score argmax vote runs on
+        device where the scores already live (train/step.py
+        ``make_vote_fn``).  Exact-equality parity with the host path is
+        pinned by test_ops.py::test_device_vote_matches_host_cutting."""
+        n = handle["n"]
+        thresholds = list(thresholds)
+        ypred = np.asarray(handle["ypred_d"])[:n]
+        # (T, n) dense part ids; the per-(fold,label) components are
+        # shared across the sweep's thresholds
+        parts = cut_part_ids_multi(ypred, vert, bck2, thresholds)
+        if not thresholds:
+            return parts  # (0, n)
+        # bucket the part-axis so the jitted vote executable is reused
+        # across graphs; padded voxel rows -> dump segment
+        p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
+        n_pad = int(handle["yscores_d"].shape[0])
+        pid = np.full((len(parts), n_pad), p_pad, np.int32)
+        pid[:, :n] = parts
+        if "vote" not in self._predict_fns:
+            self._predict_fns["vote"] = make_vote_fn()
+        votes = np.asarray(
+            self._predict_fns["vote"](
+                handle["yscores_d"], jnp.asarray(pid), p_pad
+            )
+        )  # (T, p_pad) per-part label ids
+        return np.stack([votes[t, parts[t]] for t in range(len(parts))])
+
     # ------------------------------------------------------------------
     # threshold sweep (ref pattern_class.py:177-245)
     # ------------------------------------------------------------------
@@ -366,28 +400,8 @@ class SulciLabeller:
                 return
 
             if self.tpu.device_vote:
-                n = handle["n"]
-                ypred = np.asarray(handle["ypred_d"])[:n]
-                # (T, n) dense part ids; the per-(fold,label) components
-                # are shared across the sweep's thresholds
-                parts = cut_part_ids_multi(
-                    ypred, vert_aligned, bck2, threshold_range
-                )
-                # bucket the part-axis so the jitted vote executable is
-                # reused across graphs; padded voxel rows -> dump segment
-                p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
-                n_pad = int(handle["yscores_d"].shape[0])
-                pid = np.full((len(parts), n_pad), p_pad, np.int32)
-                pid[:, :n] = parts
-                if "vote" not in self._predict_fns:
-                    self._predict_fns["vote"] = make_vote_fn()
-                votes = np.asarray(
-                    self._predict_fns["vote"](
-                        handle["yscores_d"], jnp.asarray(pid), p_pad
-                    )
-                )  # (T, p_pad) per-part label ids
-                per_th_ids = (
-                    votes[t, parts[t]] for t in range(len(parts))
+                per_th_ids = self._cut_labels_device(
+                    handle, vert_aligned, bck2, threshold_range
                 )
             else:
                 _, _, yscores = self._labeling_fetch(handle)

@@ -86,6 +86,8 @@ for pass in 1 2 3; do
     python scripts/mxu_probe.py
   VERIFY="" run_script_stage prof /tmp/r4_prof.txt 3000 \
     python scripts/prof_step.py
+  VERIFY="RATIO sp2/single" run_script_stage sp_memory /tmp/r4_sp_memory.log \
+    3000 python scripts/sp_memory_tpu.py
   # long accuracy runs last: paired Pallas/XLA at the reference's ~100
   # epoch scale (r3 data: 20 epochs x 3 folds = 410s wall, so ~35 min/arm)
   VERIFY="mean val acc" run_script_stage flagship_p100 /tmp/flagship_p100.log \
@@ -94,8 +96,8 @@ for pass in 1 2 3; do
     14000 env NOPALLAS=1 EPOCHS=100 TAG=_x100 python scripts/flagship_e2e.py
   VERIFY="mean val acc" run_script_stage transfer100 /tmp/transfer100.log \
     14000 env TAG=_p100 python scripts/transfer40.py
-  if ls "$STATE" | grep -c '\.ok$' | grep -q '^11$'; then
+  if ls "$STATE" | grep -c '\.ok$' | grep -q '^12$'; then
     log "ALL DONE"; exit 0
   fi
 done
-log "EXHAUSTED PASSES ($(ls "$STATE" | grep -c '\.ok$')/11 ok)"
+log "EXHAUSTED PASSES ($(ls "$STATE" | grep -c '\.ok$')/12 ok)"

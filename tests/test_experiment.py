@@ -628,3 +628,35 @@ def test_interpolate_false_learning_and_reload(cohort_dir, tmp_path):
     with open(pj) as f:
         saved = json.load(f)
     assert saved["dict_model"]["interpolate"] is False
+
+
+def test_threshold_sweep_device_vote_matches_host(cohort_dir, tmp_path):
+    """test_thresholds with the device-side vote (tpu.device_vote, default)
+    must produce exactly the host cutting path's scores — same partition,
+    same summed-score vote, only computed where the scores already live."""
+    import dataclasses
+
+    from unetsulc_tpu.config import TpuConfig
+    from unetsulc_tpu.method.training import TrainingSulciLabeller
+
+    with open(
+        op.join(str(cohort_dir), "cohorts", "cohort-Synth6_hemi-L.json")
+    ) as f:
+        graphs = [s["graph"] for s in json.load(f)["subjects"]]
+
+    def sweep(device_vote):
+        m = TrainingSulciLabeller(
+            graphs,
+            "L",
+            working_path=str(tmp_path),
+            dict_model={"name": "VoteModel", "num_filter": 8},
+            tpu=TpuConfig(
+                compute_dtype="float32", prefetch=0, device_vote=device_vote
+            ),
+        )
+        m.extract_data_from_graphs()
+        m.load_network()  # deterministic init: both paths see the same net
+        m.test_thresholds(graphs[:2], graphs[:2], [5, 30], save_results=False)
+        return {th: list(v) for th, v in m.dict_scores.items()}
+
+    assert sweep(True) == sweep(False)

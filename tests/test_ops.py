@@ -334,3 +334,13 @@ def test_device_vote_matches_host_cutting():
     for t, th in enumerate(ths):
         expected = cutting(yscores, vert, bck2, th)
         np.testing.assert_array_equal(votes[t, parts[t]], expected)
+
+    # TPU transfer dtype: the device holds f16 scores (make_label_fn);
+    # the vote must match host cutting over the same f16-rounded values
+    scores16 = scores_pad.astype(np.float16)
+    votes16 = np.asarray(
+        make_vote_fn()(jnp.asarray(scores16), jnp.asarray(pid), p_pad)
+    )
+    for t, th in enumerate(ths):
+        expected = cutting(scores16[:n], vert, bck2, th)
+        np.testing.assert_array_equal(votes16[t, parts[t]], expected)

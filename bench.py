@@ -409,6 +409,26 @@ def _probe_backend(timeout_s: int = 300) -> bool:
         return False
 
 
+def _metric_for(args):
+    """Metric name the successful run would have printed.
+
+    Error JSONs carry the same metric as the run that failed so the
+    measurement queue's logs attribute failures correctly (round-4
+    advisor finding: the catch-all always said train_voxels_per_sec
+    even for --latency / --freeze / mesh runs).
+    """
+    if args.torch_cpu_baseline:
+        return "torch_cpu_unet3d_train_voxels_per_sec"
+    if args.dp or args.sp > 1:
+        return "unet3d_train_voxels_per_sec_mesh"
+    if args.latency:
+        return "label_latency_p50"
+    metric = "unet3d_train_voxels_per_sec_per_chip"
+    if args.freeze:
+        metric += f"_freeze_{args.freeze}"
+    return metric
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch-cpu-baseline", action="store_true")
@@ -432,7 +452,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "unet3d_train_voxels_per_sec",
+                    "metric": _metric_for(args),
                     "value": 0.0,
                     "unit": "voxels/sec",
                     "vs_baseline": 0.0,
@@ -449,7 +469,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "unet3d_train_voxels_per_sec",
+                    "metric": _metric_for(args),
                     "value": 0.0,
                     "unit": "voxels/sec",
                     "vs_baseline": 0.0,

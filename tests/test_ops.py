@@ -335,12 +335,32 @@ def test_device_vote_matches_host_cutting():
         expected = cutting(yscores, vert, bck2, th)
         np.testing.assert_array_equal(votes[t, parts[t]], expected)
 
-    # TPU transfer dtype: the device holds f16 scores (make_label_fn);
-    # the vote must match host cutting over the same f16-rounded values
+    # TPU transfer dtype: the device holds f16 scores and derives BOTH
+    # the partition argmax and the vote from them (make_label_fn casts
+    # before the argmax — advisor r4 found the earlier f32-argmax
+    # partition could diverge from host cutting's post-rounding argmax).
+    # Force real rounding collapses: push each sampled voxel's top class
+    # to within f16 eps BELOW its runner-up, so the f32 argmax (top
+    # class) and the f16 argmax (tie -> lowest class id) genuinely
+    # differ, then check partition+vote still match host cutting exactly.
+    yscores_c = yscores.copy()
+    order = np.argsort(yscores_c, axis=1)
+    rows = np.nonzero(rng.random(n) < 0.3)[0]
+    top, runner = order[rows, -1], order[rows, -2]
+    yscores_c[rows, runner] = yscores_c[rows, top] - 1e-6
     scores16 = scores_pad.astype(np.float16)
+    scores16[:n] = yscores_c.astype(np.float16)
+    ypred16 = np.argmax(scores16[:n], axis=1)
+    assert (ypred16 != np.argmax(yscores_c, axis=1)).any(), (
+        "fixture failed to force an f16 argmax collapse"
+    )
+    parts16 = np.stack([cut_part_ids(ypred16, vert, bck2, th) for th in ths])
+    p_pad16 = max(128, -(-(int(parts16.max()) + 1) // 128) * 128)
+    pid16 = np.full((len(ths), n_pad), p_pad16, np.int32)
+    pid16[:, :n] = parts16
     votes16 = np.asarray(
-        make_vote_fn()(jnp.asarray(scores16), jnp.asarray(pid), p_pad)
+        make_vote_fn()(jnp.asarray(scores16), jnp.asarray(pid16), p_pad16)
     )
     for t, th in enumerate(ths):
         expected = cutting(scores16[:n], vert, bck2, th)
-        np.testing.assert_array_equal(votes16[t, parts[t]], expected)
+        np.testing.assert_array_equal(votes16[t, parts16[t]], expected)

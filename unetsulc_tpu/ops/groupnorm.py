@@ -36,11 +36,11 @@ def group_norm(
     if use_pallas is None:
         from unetsulc_tpu.ops.groupnorm_pallas import use_pallas_for
 
-        # NOTE: the chunked pallas GN (groupnorm_pallas_chunked) is NOT
-        # auto-dispatched: measured 2.8x slower than XLA's fused lowering
-        # at full resolution (the sequential chunk grid + an extra HBM pass
-        # lose to XLA's overlap; BASELINE.md).  It remains available as an
-        # explicit opt-in for memory-constrained cases.
+        # NOTE: the chunked pallas GN (ops/attic/groupnorm_pallas_chunked)
+        # is NOT auto-dispatched: measured 2.8x slower than XLA's fused
+        # lowering at full resolution (the sequential chunk grid + an
+        # extra HBM pass lose to XLA's overlap; BASELINE.md).  It is
+        # archived under ops/attic as a kept negative result.
         use_pallas = use_pallas_for(x.shape, x.dtype)
     if use_pallas:
         from unetsulc_tpu.ops.groupnorm_pallas import group_norm_pallas

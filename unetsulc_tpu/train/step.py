@@ -329,7 +329,6 @@ def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
             picked = logits[cx + 1, (cy + 1) * g.Zp + (cz + 1), :]
         else:
             picked = logits[0][cx, cy, cz, :]  # (n_pad, C)
-        ypred = jnp.argmax(picked, axis=-1)
         yscores = _final_activation(picked, final_sigmoid)
         # float16 transfer dtype: yscores are probabilities in [0, 1], and
         # the device->host fetch of (n_voxels x classes) dominates label
@@ -340,6 +339,15 @@ def make_label_fn(apply_fn: Callable, final_sigmoid: bool = False):
         # (cutting/threshold decisions see no rounding, ADVICE r2).
         if jax.default_backend() == "tpu":
             yscores = yscores.astype(jnp.float16)
+        # ypred from the (possibly f16-rounded) yscores, NOT the raw
+        # logits: host-path cutting() argmaxes the transferred scores, so
+        # deriving the device-vote partition from the same values makes
+        # the two paths' per-voxel argmax identical even when f16
+        # rounding collapses a voxel's top-2 classes (advisor r4).  The
+        # activation is per-class monotone, so pre-cast this equals the
+        # logit argmax; ties (post-cast) resolve to the lowest class id
+        # in both jnp.argmax and np.argmax.
+        ypred = jnp.argmax(yscores, axis=-1)
         return ypred, yscores
 
     return label

@@ -191,7 +191,8 @@ def test_fused_conv_block_fwd_and_grads(cins, cout):
             d1, d2, d3 = _dummies()
             xs, ab, ws = xs + [d1], ab + [d2], ws + [d3]
         y, s = cp.fused_conv_block(xs[0], xs[1], ab[0], ab[1], ws[0], ws[1],
-                                   bias, None, None, len(cins), g, True)
+                                   bias, None, None, None, len(cins), g,
+                                   True)
         y5 = cp.unpad_from_geom(y, g)
         sflat = s.swapaxes(0, 1).reshape(2, -1)
         return jnp.sum(y5 * gy) + jnp.sum(sflat * gs), (y5, sflat)

@@ -500,6 +500,39 @@ def test_sp_pallas_odd_post_pool_extents(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_sp_shard_middle_off_matches_single_device(monkeypatch):
+    """The sp_shard_middle=False layout (round-4 behavior: replicate
+    everything past encoder 1's pool) remains available and exact — the
+    fallback knob for A/B-ing the sharded middle on real hardware
+    (TpuConfig.sp_shard_middle)."""
+    monkeypatch.setenv("UNETSULC_KFOLD9", "0")
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import make_train_step, make_train_step_sp
+
+    model, state, inputs, labels = _sp_pallas_setup()
+    step1 = make_train_step(make_apply_fn(model), num_classes=3,
+                            donate=False)
+    losses_1, counts_1, params_1 = _run_steps(state, step1, inputs, labels,
+                                              n=2)
+
+    mesh = make_mesh(data=1, space=2)
+    sp_apply = make_apply_fn(
+        model.clone(sp_axis="space", sp_shard_middle=False)
+    )
+    step2 = make_train_step_sp(sp_apply, num_classes=3, mesh=mesh,
+                               donate=False)
+    bs = batch_sharding(mesh)
+    state_d = jax.device_put(state, replicate(mesh))
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+    losses_2, counts_2, params_2 = _run_steps(state_d, step2, in_d, lb_d,
+                                              n=2)
+    np.testing.assert_allclose(losses_1, losses_2, rtol=1e-5)
+    np.testing.assert_array_equal(counts_1, counts_2)
+    for a, b in zip(params_1, params_2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_sp_memory_scales(monkeypatch):
     """The sp step never replicates a full-resolution buffer (VERDICT r3
     item 3): every all_gather in the lowered program is at most
@@ -543,6 +576,16 @@ def test_sp_memory_scales(monkeypatch):
     ).as_text()
 
     full_level0_elems = V * V * V * init
+    # the largest legitimate collective is a pooled-size buffer at the
+    # middle level's 2i channel width (the sharded-middle boundaries:
+    # encoder 1's output into encoder 2, decoder 1's output into decoder
+    # 2's resize — models/unet3d.py sp partition plan), measured on the
+    # PADDED buffer geometry
+    from unetsulc_tpu.ops import conv_pallas as cp
+
+    gg = cp.pool_geom(cp.make_geom(V, V, V))
+    pooled_bound = gg.Xp * gg.Yp * gg.Zp * 2 * init
+    assert pooled_bound < full_level0_elems // 2, (gg, "test self-check")
     gathers = re.findall(
         r'all_gather.*?->\s*tensor<([0-9x]+)x[a-z]', txt
     ) or re.findall(
@@ -552,10 +595,10 @@ def test_sp_memory_scales(monkeypatch):
     assert gathers, "expected at least one all_gather in the sp program"
     for dims in gathers:
         elems = int(np.prod([int(d) for d in dims.split("x")]))
-        assert elems <= full_level0_elems // 4, (
-            f"all_gather of {dims} ({elems} elements) is at or above "
-            f"full-resolution scale ({full_level0_elems} elements) — the "
-            "sp middle must gather only POOLED buffers"
+        assert elems <= pooled_bound, (
+            f"all_gather of {dims} ({elems} elements) exceeds the pooled "
+            f"middle-boundary scale ({pooled_bound} elements) — the sp "
+            "partition must gather only POOLED buffers"
         )
 
 

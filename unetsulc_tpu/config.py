@@ -132,6 +132,12 @@ class TpuConfig:
     # with spatial_parallel > 1 keep the pjit auto-SPMD XLA path.  Tests
     # flip this to exercise the sp shard_map wiring on the virtual mesh.
     sp_pallas_cpu: bool = False
+    # shard the pooled middle level (encoder 1 + decoder 1) over the space
+    # axis too (models/unet3d.py sp_shard_middle; slab+E layout): lifts
+    # sp's compute coverage from ~53% to ~80% of FLOPs while keeping every
+    # collective pooled-size.  False = replicate everything past encoder
+    # 1's pool (the round-4 layout).
+    sp_shard_middle: bool = True
     # host->device prefetch depth
     prefetch: int = 2
     # threshold sweep votes on device (train/step.py make_vote_fn): only

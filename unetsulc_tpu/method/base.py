@@ -195,6 +195,7 @@ class SulciLabeller:
             # composes: nn.remat replays the kernels over the PallasVol
             # pytree (bit-exact, tests/test_pallas.py)
             pallas_blocks=self.tpu.pallas_blocks,
+            sp_shard_middle=self.tpu.sp_shard_middle,
         )
         kw.update(over)
         return UNet3D(**kw)

@@ -146,6 +146,10 @@ class SplitConv3(nn.Module):
     # planes exchanged with one ppermute per input and the kernels run in
     # halo mode
     sp_axis: Optional[str] = None
+    # sharded POOLED middle level (slab+E layout, sp_pallas.py
+    # ring_fill_mid): the E duplicate plane exchanges alongside the rings
+    # and unowned outputs are masked via the kernels' valid_out
+    sp_mid: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -226,7 +230,15 @@ class SplitConv3(nn.Module):
         ]
         xs = [v.buf for v in vols]
         halo = self.sp_axis is not None
-        if halo:
+        valid_out = None
+        if halo and self.sp_mid:
+            from unetsulc_tpu.parallel.sp_pallas import ring_fill_mid
+
+            filled = [ring_fill_mid(xb, self.sp_axis) for xb in xs]
+            xs = [f[0] for f in filled]
+            valids = [f[1] for f in filled]
+            valid_out = filled[0][2]
+        elif halo:
             from unetsulc_tpu.parallel.sp_pallas import ring_fill
 
             filled = [ring_fill(xb, self.sp_axis) for xb in xs]
@@ -242,8 +254,8 @@ class SplitConv3(nn.Module):
             valids = valids + [jnp.ones((2,), jnp.float32) if halo else None]
         y, sums = cp.fused_conv_block(
             xs[0], xs[1], abs_[0], abs_[1], ws[0], ws[1], bias,
-            valids[0], valids[1], len(vols), g, _pallas_interpret(),
-            halo,
+            valids[0], valids[1], valid_out, len(vols), g,
+            _pallas_interpret(), halo,
         )
         return y, sums, g
 
@@ -271,6 +283,8 @@ class DoubleConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
     sp_axis: Optional[str] = None
+    # slab+E mid-level sharding (parallel/sp_pallas.py sp_mid_geom)
+    sp_mid: bool = False
 
     def _block_pallas(self, x, pos: int, out_channels: int) -> "PallasVol":
         """One fused 'crg' unit on the Pallas pipeline.
@@ -314,6 +328,7 @@ class DoubleConv(nn.Module):
                 features=out_channels,
                 compute_dtype=self.compute_dtype,
                 sp_axis=self.sp_axis,
+                sp_mid=self.sp_mid,
                 name=f"conv{pos}",
             )(x)
         scale = self.param(
@@ -327,7 +342,15 @@ class DoubleConv(nn.Module):
         count = g.voxels
         if self.sp_axis is not None:
             sums = jax.lax.psum(sums, self.sp_axis)
-            count = g.voxels * jax.lax.axis_size(self.sp_axis)
+            n = jax.lax.axis_size(self.sp_axis)
+            if self.sp_mid:
+                # slab+E geometry: shards own g.X - 1 = P planes each plus
+                # ONE global trailing plane (on the last shard); unowned E
+                # duplicates are masked out of the psum'd sums, so the
+                # normalizing count is the true global pooled voxel count
+                count = (n * (g.X - 1) + 1) * g.Y * g.Z
+            else:
+                count = g.voxels * n
         aff = cp.gn_affine_from_sums(
             sums, scale, bias, pick_num_groups(out_channels), count
         )
@@ -394,20 +417,38 @@ class Encoder(nn.Module):
     pallas: bool = False
     sp_axis: Optional[str] = None
     # spatial-parallel boundary encoder (level 1): pool the sharded level-0
-    # slabs IN PLACE (the pool only needs the left halo plane) and
-    # all-gather the POOLED output for the replicated middle — never the
-    # full-resolution volume (parallel/sp_pallas.py sp_pool_gather)
+    # slabs IN PLACE (the pool only needs the left halo plane).  With
+    # ``sp_mid`` the pooled slabs STAY LOCAL (slab+E layout) and this
+    # encoder's DoubleConv runs sharded in halo mode (sp_pool_local);
+    # otherwise the POOLED output all-gathers for the replicated middle
+    # (sp_pool_gather).  Either way no full-resolution buffer is ever
+    # replicated (parallel/sp_pallas.py).
     sp_pool_axis: Optional[str] = None
+    # sharded-middle encoder (level 1): see sp_pool_axis
+    sp_mid: bool = False
+    # level-2 boundary when the middle is sharded: the input is encoder
+    # 1's LOCAL slab+E output — all-gather it (still pooled-size) into the
+    # replicated volume this and the deeper levels run on
+    sp_gather_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        assert self.sp_axis is None or not self.pool, (
-            "spatial-parallel encoders are pool-free (level 0 only; the "
-            "middle levels run replicated, models/unet3d.py sp partition)"
+        assert self.sp_axis is None or self.sp_mid or not self.pool, (
+            "spatial-parallel encoders are pool-free (level 0 only) "
+            "except the sharded-middle level-1 encoder (sp_mid)"
         )
         if self.pool:
             if isinstance(x, PallasVol):
-                if self.sp_pool_axis is not None:
+                if self.sp_pool_axis is not None and self.sp_mid:
+                    from unetsulc_tpu.parallel.sp_pallas import (
+                        sp_pool_local,
+                    )
+
+                    buf, gg = sp_pool_local(
+                        x.buf, x.aff, x.g, self.sp_pool_axis
+                    )
+                    x = PallasVol(buf, None, gg)
+                elif self.sp_pool_axis is not None:
                     from unetsulc_tpu.parallel.sp_pallas import (
                         sp_pool_gather,
                     )
@@ -417,6 +458,17 @@ class Encoder(nn.Module):
                     )
                     x = PallasVol(buf, None, gg)
                 else:
+                    if self.sp_gather_axis is not None:
+                        # x is the sharded middle's local slab+E output:
+                        # gather (pooled-size) into the replicated volume
+                        from unetsulc_tpu.parallel.sp_pallas import (
+                            sp_mid_gather,
+                        )
+
+                        buf, gg = sp_mid_gather(
+                            x.buf, x.g, self.sp_gather_axis
+                        )
+                        x = PallasVol(buf, x.aff, gg)
                     # buffer-native pool: consumes the pending GN affine
                     # (max does not commute with it), first-match tie
                     # backward (torch semantics), stays in the row layout
@@ -436,6 +488,7 @@ class Encoder(nn.Module):
             compute_dtype=self.compute_dtype,
             pallas=self.pallas,
             sp_axis=self.sp_axis,
+            sp_mid=self.sp_mid,
             name="double_conv",
         )(x)
 
@@ -499,6 +552,14 @@ class Decoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     pallas: bool = False
     sp_axis: Optional[str] = None
+    # sharded-middle decoder (level 1): the skip is encoder 1's LOCAL
+    # slab+E volume; the replicated deeper input resizes straight to this
+    # shard's slab+E rows and the pair convs run sharded in halo mode
+    sp_mid: bool = False
+    # full-resolution decoder (level 2) when the middle is sharded: the
+    # input is decoder 1's LOCAL slab+E output — all-gather (pooled-size)
+    # before the row-sliced upsample
+    sp_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -531,12 +592,33 @@ class Decoder(nn.Module):
             # output voxel), so resize the RAW buffer and keep the lazy GN
             # affine pending into the pair conv
             gt = encoder_features.g
-            if self.sp_axis is not None:
-                # x is the REPLICATED middle output; each device computes
-                # only its slab of the full-resolution upsample (the X
-                # interpolation matrix is row-sliced per shard)
-                from unetsulc_tpu.parallel.sp_pallas import sp_resize_to_slab
+            if self.sp_axis is not None and self.sp_mid:
+                # sharded middle (level 1): x is the REPLICATED level-2
+                # output; resize straight to this shard's slab+E rows of
+                # the pooled level (parallel/sp_pallas.py) — the pair conv
+                # below runs sharded against encoder 1's local skip
+                from unetsulc_tpu.parallel.sp_pallas import (
+                    sp_resize_to_slab_mid,
+                )
 
+                up5 = sp_resize_to_slab_mid(
+                    cp.unpad_from_geom(x.buf, x.g), gt, self.sp_axis
+                )
+                up = PallasVol(cp.pad_to_geom(up5, gt), x.aff, gt)
+            elif self.sp_axis is not None:
+                # x is the middle output; each device computes only its
+                # slab of the full-resolution upsample (the X
+                # interpolation matrix is row-sliced per shard)
+                from unetsulc_tpu.parallel.sp_pallas import (
+                    sp_mid_gather,
+                    sp_resize_to_slab,
+                )
+
+                if self.sp_gather:
+                    # decoder 1 ran sharded: gather its local slab+E
+                    # output (pooled-size) into the replicated volume
+                    buf, gg = sp_mid_gather(x.buf, x.g, self.sp_axis)
+                    x = PallasVol(buf, x.aff, gg)
                 up5 = sp_resize_to_slab(
                     cp.unpad_from_geom(x.buf, x.g), gt, self.sp_axis
                 )
@@ -553,6 +635,7 @@ class Decoder(nn.Module):
                 compute_dtype=self.compute_dtype,
                 pallas=True,
                 sp_axis=self.sp_axis,
+                sp_mid=self.sp_mid,
                 name="double_conv",
             )((encoder_features, up))
         target = encoder_features.shape[1:4]
@@ -714,11 +797,20 @@ class UNet3D(nn.Module):
     # the mesh axis over which the input's X axis is sharded.  The forward
     # then runs the Pallas pipeline on local slabs: level 0 (encoder 0,
     # encoder 1's pool, decoder 2's pair convs, head) sharded with halo
-    # exchange, the middle levels replicated on the all-gathered POOLED
-    # (1/8-size) volume.  Must only be set on
+    # exchange; the POOLED level 1 (encoder 1's convs, decoder 1) sharded
+    # in the slab+E layout when ``sp_shard_middle``; only levels 2-3
+    # replicated, on gathered POOLED-size volumes.  Must only be set on
     # the model used INSIDE shard_map (train/step.py make_train_step_sp) —
     # it requires the axis to be bound and the Pallas pipeline eligible.
     sp_axis: Optional[str] = None
+    # shard the pooled middle level (encoder 1 + decoder 1) over sp_axis
+    # too (slab+E layout, parallel/sp_pallas.py sp_mid_geom): lifts sp's
+    # compute coverage from ~53% of FLOPs (level 0) to ~80% (levels 0-1),
+    # i.e. the Amdahl cap from ~2x to ~5x, while keeping every collective
+    # pooled-size.  Equivalence with the unsharded middle is pinned by
+    # tests/test_parallel.py (sp_pallas tests run both).  False =
+    # round-4 behavior (replicate from the pooled level up).
+    sp_shard_middle: bool = True
 
     def _shard_widths_ok(self) -> bool:
         """Every channel count the pipeline shards must satisfy
@@ -793,6 +885,14 @@ class UNet3D(nn.Module):
             )
         enc_cls = nn.remat(Encoder) if self.remat else Encoder
         dec_cls = nn.remat(Decoder) if self.remat else Decoder
+        # sp partition plan (parallel/sp_pallas.py): level 0 sharded on
+        # local slabs; with sp_shard_middle the POOLED level 1 is sharded
+        # too (slab+E layout: encoder 1's convs and decoder 1's pair
+        # convs run on local pooled slabs, skip stays local) and only
+        # levels 2-3 replicate, each boundary crossing a pooled-size
+        # all_gather; otherwise everything past encoder 1's pool
+        # replicates (round-4 behavior)
+        sp_mid = sp is not None and self.sp_shard_middle
         skips = []
         for n, (cin, cout) in enumerate(enc_chans):
             x = enc_cls(
@@ -802,14 +902,10 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
-                sp_axis=sp if n == 0 else None,
-                # encoder 1 is the sp boundary: its pool runs on the local
-                # slabs and only the POOLED (1/8-size) output all-gathers
-                # for the replicated middle; the skip for decoder 2 stays
-                # the LOCAL slab (parallel/sp_pallas.py partition plan —
-                # post-pool extents are odd, X/2+1, so the middle levels
-                # replicate rather than grow uneven-slab machinery)
+                sp_axis=sp if n == 0 or (n == 1 and sp_mid) else None,
                 sp_pool_axis=sp if n == 1 else None,
+                sp_mid=sp_mid and n == 1,
+                sp_gather_axis=sp if (n == 2 and sp_mid) else None,
                 name=f"encoders_{n}",
             )(x)
             if self.dropout > 0:
@@ -830,7 +926,9 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
-                sp_axis=sp if n == 2 else None,
+                sp_axis=sp if n == 2 or (n == 1 and sp_mid) else None,
+                sp_mid=sp_mid and n == 1,
+                sp_gather=sp_mid and n == 2,
                 name=f"decoders_{n}",
             )(skip, x)
 

@@ -350,6 +350,7 @@ def _fwd_kernel(
     halo: bool,
     edge_outputs: bool,
     has_valid: bool,
+    has_vout: bool,
     post: bool,
     kfold: bool,
 ):
@@ -367,6 +368,10 @@ def _fwd_kernel(
     valid_ref = None
     if has_valid:
         valid_ref = refs[i]  # (Xp,) f32 per-plane input validity (SMEM)
+        i += 1
+    vout_ref = None
+    if has_vout:
+        vout_ref = refs[i]  # (Xp,) f32 per-plane OUTPUT validity (SMEM)
         i += 1
     if fold:
         # kfold: (1, kout, 9cs, {2cso|cso}) — dx merged into K
@@ -513,14 +518,23 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    def _mask_t():
+        # mask covers y/z pad rows; the plane factor zeroes back-pad
+        # planes (X < t < Xp-1) that the grid still computes.  A runtime
+        # ``valid_out`` (spatial-parallel mid-level slabs) replaces the
+        # static factor: planes a shard computes but does NOT own (the
+        # duplicated neighbor plane) zero out here, so their y — and
+        # therefore the ReLU-gated dconv and the stat sums — never carry
+        # another shard's output.
+        if edge_outputs:
+            return mask
+        if has_vout:
+            return mask * vout_ref[t]
+        return mask * jnp.where(t <= g.X, 1.0, 0.0)
+
     @pl.when(jnp.logical_not(border))
     def _():
-        # mask covers y/z pad rows; the plane factor zeroes back-pad
-        # planes (X < t < Xp-1) that the grid still computes
-        mask_t = (
-                mask if edge_outputs
-                else mask * jnp.where(t <= g.X, 1.0, 0.0)
-            )
+        mask_t = _mask_t()
         for ko in range(kout):
             if kin == 1 and fold and kfold:
                 # single in-shard, fully K-folded: ONE (ps, 9cs) pair dot
@@ -671,10 +685,7 @@ def _fwd_kernel(
         if kin > 1:
             @pl.when(ki == n_ki - 1)
             def _():
-                mask_t = (
-                mask if edge_outputs
-                else mask * jnp.where(t <= g.X, 1.0, 0.0)
-            )
+                mask_t = _mask_t()
                 for ko in range(kout):
                     if fold:
                         finalize_ko(
@@ -709,6 +720,7 @@ def conv_shards(
     interpret: bool = False,
     halo: bool = False,
     valid_in: Optional[jnp.ndarray] = None,
+    valid_out: Optional[jnp.ndarray] = None,
     edge_outputs: bool = False,
     post_ab: Optional[jnp.ndarray] = None,
     post_x: Optional[jnp.ndarray] = None,
@@ -735,6 +747,11 @@ def conv_shards(
     ``valid_in`` ((Xp,) f32) marks which planes are real (ring validity
     differs per shard at runtime); ``edge_outputs`` computes outputs at
     the ring planes too (the dx pass's gradients w.r.t. halo inputs).
+    ``valid_out`` ((Xp,) f32, halo only) marks which interior planes this
+    shard OWNS: unowned planes (the mid-level slab's duplicated neighbor
+    plane, parallel/sp_pallas.py ring_fill_mid) are valid conv INPUTS but
+    their outputs/stats zero out, so each global plane is produced and
+    counted by exactly one shard.
     """
     kin, xp, ps, cs = (int(v) for v in x.shape)
     assert xp == g.Xp and ps == g.plane, (x.shape, g)
@@ -748,6 +765,8 @@ def conv_shards(
     if halo:
         assert ab is not None, "halo mode normalizes ring planes (pass identity affine)"
         assert valid_in is not None and valid_in.shape == (xp,), valid_in
+    if valid_out is not None:
+        assert halo and valid_out.shape == (xp,), (valid_out, halo)
     if halo or edge_outputs:
         # even local extents leave no slack planes between the right ring
         # and the buffer end (make_geom: Xp == X + 2)
@@ -788,6 +807,7 @@ def conv_shards(
         halo=halo,
         edge_outputs=edge_outputs,
         has_valid=valid_in is not None,
+        has_vout=valid_out is not None,
         post=post,
         kfold=kfold,
     )
@@ -821,6 +841,9 @@ def conv_shards(
     if valid_in is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(valid_in.astype(jnp.float32))
+    if valid_out is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(valid_out.astype(jnp.float32))
     if fold and kfold:
         wac, wmid = pack_weights_dxfold9(w)
         in_specs += [
@@ -1187,9 +1210,9 @@ def conv_wgrad_shards(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
-                     n_inputs, g, interpret=False, halo=False):
+                     valid_out, n_inputs, g, interpret=False, halo=False):
     """relu(conv3x3x3(mask*(a*x + b), W) + bias) with GN stat sums, fused.
 
     x_i: (Kin_i, Xp, plane, cs_i) padded shard buffers; ab_i:
@@ -1206,18 +1229,25 @@ def fused_conv_block(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
     ``halo`` (spatial parallel): x_i's ring planes carry neighbor halo
     data and valid_i ((Xp,) f32) marks per-plane validity; the backward
     emits ring-plane dx so autodiff routes halo gradients back through
-    the caller's ppermute.  valid_i are None outside halo mode."""
+    the caller's ppermute.  valid_i are None outside halo mode.
+    ``valid_out`` ((Xp,) f32 or None) marks the planes this shard OWNS
+    (mid-level slabs, see conv_shards): unowned planes' outputs/stats
+    zero, which makes their ReLU-gated dconv zero too — the backward
+    needs no extra masking."""
     y, sums = _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
-                         n_inputs, g, interpret, halo)[0]
+                         valid_out, n_inputs, g, interpret, halo)[0]
     return y, sums
 
 
-def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, n_inputs, g,
-               interpret, halo):
+def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, valid_out,
+               n_inputs, g, interpret, halo):
     def call(xb, abb, wb, vb, b, partial_, stats):
         return conv_shards(
             xb, abb, wb, b, g=g, relu=stats, stats=stats, partial=partial_,
             interpret=interpret, halo=halo, valid_in=vb,
+            # only the finalizing (stats) call masks: the partial is a
+            # pre-activation accumulator the second call overwrites
+            valid_out=valid_out if stats else None,
         )
 
     if n_inputs == 2:
@@ -1234,11 +1264,13 @@ def _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, n_inputs, g,
                        bias, p, True)
     else:
         y, sums = call(x1, ab1, w1, valid1, bias, None, True)
-    return (y, sums), (x1, x2, ab1, ab2, w1, w2, valid1, valid2, y)
+    return (y, sums), (
+        x1, x2, ab1, ab2, w1, w2, valid1, valid2, valid_out, y,
+    )
 
 
 def _fused_bwd(n_inputs, g, interpret, halo, res, cts):
-    x1, x2, ab1, ab2, w1, w2, valid1, valid2, y = res
+    x1, x2, ab1, ab2, w1, w2, valid1, valid2, valid_out, y = res
     dy, dsums = cts
 
     # cotangent through ReLU + the stat sums (one fused elementwise pass):
@@ -1301,14 +1333,18 @@ def _fused_bwd(n_inputs, g, interpret, halo, res, cts):
         dw2 = jnp.zeros_like(w2)
     dv1 = None if valid1 is None else jnp.zeros_like(valid1)
     dv2 = None if valid2 is None else jnp.zeros_like(valid2)
-    return dx1, dx2, dab1, dab2, dw1, dw2, dbias.astype(jnp.float32), dv1, dv2
+    dvo = None if valid_out is None else jnp.zeros_like(valid_out)
+    return (
+        dx1, dx2, dab1, dab2, dw1, dw2, dbias.astype(jnp.float32),
+        dv1, dv2, dvo,
+    )
 
 
 fused_conv_block.defvjp(
-    lambda x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, n_inputs, g,
-        interpret=False, halo=False:
+    lambda x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2, valid_out,
+        n_inputs, g, interpret=False, halo=False:
         _fused_fwd(x1, x2, ab1, ab2, w1, w2, bias, valid1, valid2,
-                   n_inputs, g, interpret, halo),
+                   valid_out, n_inputs, g, interpret, halo),
     _fused_bwd,
 )
 

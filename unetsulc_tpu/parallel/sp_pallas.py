@@ -9,24 +9,33 @@ boundary x-planes in the ring planes, exchanged with one
 torch model is single-GPU, ref training.py:96-136); the design target is
 full-resolution hemispheres whose activations exceed one chip's HBM.
 
-Partition plan (sp_forward in models/unet3d.py):
+Partition plan (sp wiring in models/unet3d.py UNet3D.__call__):
 
 * **Level 0 sharded** — encoder 0's two convs, decoder 2's pair convs and
   the classification head run on local (S = X/n)-plane slabs.  Level 0
-  is where the memory (96^3 x 64ch activation pairs) and >50% of the
+  is where the memory (96^3 x 64ch activation pairs) and ~53% of the
   FLOPs live.
-* **Pool sharded, POOLED middle replicated** — encoder 1's torch-padded
-  max pool runs on the local slabs (it needs only the left halo plane,
-  one ppermute) and the POOLED output all-gathers (one bf16 collective
-  over ICI, ~1/8 the full-resolution volume); encoders 1-3 + decoders
-  0-1 then run the unmodified single-device pipeline identically on
-  every device.  No full-resolution buffer is ever replicated, so
-  per-device peak activation memory scales with the mesh (the design
-  target for volumes exceeding one chip's HBM; pinned by
-  test_parallel.py::test_sp_memory_scales).  The post-pool extents
-  (X/2+1 — odd) do not divide evenly; replicating from there keeps
-  exact single-device numerics where sharding the middle would need
-  uneven-slab machinery for a minor fraction of the step's FLOPs.
+* **Pooled level 1 sharded too** (``sp_shard_middle``, default; round-5,
+  VERDICT r4 item 4) — the pooled extent gX = X/2 + 1 is odd, so it
+  cannot split into uniform slabs; the **slab+E layout** (sp_mid_geom)
+  gives every shard its P = S/2 pooled planes plus one extra plane slot:
+  the real global trailing plane on the last shard, a duplicate of the
+  right neighbor's first plane elsewhere (a valid conv input whose
+  output/stats are masked by the kernels' runtime ``valid_out``).
+  Encoder 1's pool stays local (sp_pool_local), its DoubleConv and
+  decoder 1's pair convs run sharded in halo mode (ring_fill_mid:
+  2 ppermutes/conv input, same count as level 0), and decoder 1's skip
+  never leaves its shard.  This lifts sp's compute coverage from ~53%
+  to ~80% of step FLOPs (Amdahl cap ~2x -> ~5x) at the cost of one
+  duplicated plane of compute per shard (~1/P).
+* **Levels 2-3 replicated** — encoder 1's output all-gathers
+  (pooled-size x 2i channels) into the replicated deep levels; so does
+  decoder 1's output for decoder 2's upsample.  No full-resolution
+  buffer is ever replicated, so per-device peak activation memory
+  scales with the mesh (pinned by
+  test_parallel.py::test_sp_memory_scales).  ``sp_shard_middle=False``
+  restores the round-4 layout (replicate everything past encoder 1's
+  pool, one pooled-size gather).
 * **Re-shard at decoder 2** — the trilinear upsample back to full
   resolution computes only the local slab's rows (the X-axis
   interpolation matrix is row-sliced per shard), feeding the sharded
@@ -198,6 +207,228 @@ def sp_pool_gather(
         ),
     )
     return out.reshape(k, gg.Xp, gg.plane, cs), gg
+
+
+def sp_mid_geom(g: cp.Geom, axis_name: str) -> cp.Geom:
+    """Local slab+E geometry of the sharded POOLED middle level.
+
+    The pooled extent gX = n*S/2 + 1 is odd, so it cannot split into
+    uniform slabs.  The mid layout solves this with one extra plane slot
+    per shard: shard k's buffer holds its P = S/2 pooled planes
+    [k*P, (k+1)*P) at interior positions 1..P plus an **E plane** at
+    position P+1 — the global trailing plane gX-1 on the LAST shard, a
+    duplicate of the right neighbor's first plane everywhere else (a
+    valid conv INPUT whose output is masked, conv_pallas.py
+    ``valid_out``).  Uniform shapes keep shard_map happy; the overhead is
+    one duplicated plane of compute per shard (~1/P).
+
+    The returned Geom has X = P+1 (slab + E), Xp = P+3 (rings at 0 and
+    P+2 — note Xp is odd, which the halo kernels allow: they only
+    require Xp == X + 2), and the global pooled level's Yp/Zp paddings so
+    gathers are plane-layout-compatible.
+    """
+    n = lax.axis_size(axis_name)
+    s = g.X
+    assert s % 2 == 0, (g, "mid sharding needs even level-0 slabs")
+    p = s // 2
+    gg = cp.pool_geom(cp.make_geom(n * s, g.Y, g.Z))
+    return cp.Geom(p + 1, gg.Y, gg.Z, p + 3, gg.Yp, gg.Zp)
+
+
+def sp_pool_local(
+    buf: jnp.ndarray,
+    aff: Optional[jnp.ndarray],
+    g: cp.Geom,
+    axis_name: str,
+):
+    """Spatially-sharded torch-padded max pool into the LOCAL slab+E
+    layout (no gather — the sharded-middle counterpart of
+    :func:`sp_pool_gather`).
+
+    (K, S+2, plane, cs) level-0 local slabs -> ((K, P+3, plane', cs)
+    local mid buffer, mid Geom) where P = S/2: interior positions 1..P
+    hold this shard's pooled output planes, position P+1 (E) holds the
+    global trailing plane gX-1 on the last shard (zeros elsewhere — the
+    next conv's :func:`ring_fill_mid` fills the duplicate), rings are
+    zeros.  Plane bookkeeping and normalization are identical to
+    :func:`sp_pool_gather`, so gathering these slabs reproduces its
+    output bitwise.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    k, xp, ps, cs = buf.shape
+    s = g.X
+    assert xp == s + 2 and s % 2 == 0, (buf.shape, g)
+    gm = sp_mid_geom(g, axis_name)
+    p = gm.X - 1
+
+    neg = jnp.asarray(-jnp.inf, buf.dtype)
+    b5 = buf.reshape(k, xp, g.Yp, g.Zp, cs)
+    if aff is not None:
+        a = aff[:, 0, :][:, None, None, None, :]
+        b = aff[:, 1, :][:, None, None, None, :]
+        xn = (b5.astype(jnp.float32) * a + b).astype(buf.dtype)
+    else:
+        xn = b5
+    mask_yz = jnp.asarray(
+        g.interior_mask_rows().reshape(g.Yp, g.Zp, 1) > 0
+    )
+    xn = jnp.where(mask_yz[None, None], xn, neg)
+    local = xn[:, 1 : s + 1]  # (k, S, Yp, Zp, cs) normalized real planes
+
+    from_left = lax.ppermute(
+        local[:, -1], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_left = jnp.where(idx > 0, from_left, neg)
+    planes = jnp.concatenate([from_left[:, None], local], axis=1)
+    pooled = lax.reduce_window(
+        planes,
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 2, 1),
+        (1, 2, 2, 2, 1),
+        "VALID",
+    )[:, :, : gm.Y, : gm.Z]  # (k, P, gY, gZ, cs) owned output planes
+
+    # trailing plane T = YZ-pool of the global input plane X-1: computed
+    # where it lives (the last shard); other shards' E stays zero until
+    # ring_fill_mid duplicates their neighbor's first plane into it
+    last_yz = lax.reduce_window(
+        local[:, -1],
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )[:, : gm.Y, : gm.Z]
+    e = jnp.where(idx == n - 1, last_yz, jnp.zeros_like(last_yz))
+    interior = jnp.concatenate([pooled, e[:, None]], axis=1)
+    out = jnp.pad(
+        interior,
+        (
+            (0, 0),
+            (1, 1),
+            (1, gm.Yp - gm.Y - 1),
+            (1, gm.Zp - gm.Z - 1),
+            (0, 0),
+        ),
+    )
+    return out.reshape(k, gm.Xp, gm.plane, cs), gm
+
+
+def ring_fill_mid(
+    buf: jnp.ndarray, axis_name: str
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ring + E-plane exchange for the slab+E mid layout.
+
+    ``buf``: (K, P+3, plane, cs) local mid buffer (positions: 0 = left
+    ring, 1..P = owned slab, P+1 = E, P+2 = right ring).  Returns
+    (filled, valid_in (P+3,), valid_out (P+3,)):
+
+    * left ring  <- left neighbor's plane P (its last owned plane);
+    * E          <- right neighbor's plane 1 on shards 0..n-2 (the
+      duplicated conv input for the slab's last output plane); the LAST
+      shard keeps its own E — the real global trailing plane;
+    * right ring <- right neighbor's plane 2 (the plane after the
+      duplicate, so E's own conv output is exact on the last shard and
+      correctly masked elsewhere).
+
+    valid_in: rings are invalid at the global volume edges (the zero
+    ring IS the conv's padding there); the E plane is always real data.
+    valid_out: only positions 1..P everywhere, plus E on the last shard
+    — each global plane is produced by exactly one shard
+    (conv_pallas.py ``valid_out`` masking).
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    p = buf.shape[1] - 3
+    from_left = lax.ppermute(
+        buf[:, p], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    pair = lax.ppermute(
+        buf[:, 1:3], axis_name, [(i, i - 1) for i in range(1, n)]
+    )
+    e = jnp.where(idx == n - 1, buf[:, p + 1], pair[:, 0])
+    filled = jnp.concatenate(
+        [
+            from_left[:, None],
+            buf[:, 1 : p + 1],
+            e[:, None],
+            pair[:, 1][:, None],
+        ],
+        axis=1,
+    )
+    ones = jnp.ones((p,), jnp.float32)
+    one = jnp.ones((1,), jnp.float32)
+    zero = jnp.zeros((1,), jnp.float32)
+    last = (idx == n - 1).astype(jnp.float32)[None]
+    valid_in = jnp.concatenate(
+        [(idx > 0).astype(jnp.float32)[None], ones, one,
+         (idx < n - 1).astype(jnp.float32)[None]]
+    )
+    valid_out = jnp.concatenate([zero, ones, last, zero])
+    return filled, valid_in, valid_out
+
+
+def sp_mid_gather(
+    buf: jnp.ndarray, g_mid: cp.Geom, axis_name: str
+) -> Tuple[jnp.ndarray, cp.Geom]:
+    """All-gather a slab+E mid buffer into the replicated full pooled
+    volume: (K, P+3, plane, cs) local -> ((K, gXp, plane, cs) replicated,
+    full pooled Geom).
+
+    Still a POOLED-size collective (the §2.2b memory contract:
+    test_parallel.py::test_sp_memory_scales) — only now it carries the
+    sharded middle level's OUTPUT (2i channels) instead of the pool's
+    input-width volume.  The E plane is exactly zero on non-last shards
+    (kernel ``valid_out`` masking), so the trailing plane psum picks the
+    last shard's real value.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    k, xp, ps, cs = buf.shape
+    p = g_mid.X - 1
+    assert xp == p + 3, (buf.shape, g_mid)
+    gx = n * p + 1
+    gg = cp.make_geom(gx, g_mid.Y, g_mid.Z)
+    assert (gg.Yp, gg.Zp) == (g_mid.Yp, g_mid.Zp), (gg, g_mid)
+    b5 = buf.reshape(k, xp, g_mid.Yp, g_mid.Zp, cs)
+    slabs = b5[:, 1 : p + 1]
+    full = lax.all_gather(slabs, axis_name, axis=1, tiled=True)
+    e = b5[:, p + 1]
+    t = lax.psum(jnp.where(idx == n - 1, e, jnp.zeros_like(e)), axis_name)
+    interior = jnp.concatenate([full, t[:, None]], axis=1)
+    out = jnp.pad(
+        interior,
+        ((0, 0), (1, gg.Xp - gg.X - 1), (0, 0), (0, 0), (0, 0)),
+    )
+    return out.reshape(k, gg.Xp, gg.plane, cs), gg
+
+
+def sp_resize_to_slab_mid(
+    x5: jnp.ndarray, g_mid: cp.Geom, axis_name: str
+) -> jnp.ndarray:
+    """Trilinear-resize a replicated (1, X2, Y2, Z2, C) volume to this
+    shard's slab+E rows of the pooled middle level: (1, P+1, gY, gZ, C).
+
+    Row block [k*P, k*P + P] of the X interpolation matrix: the P owned
+    planes plus the E row — row (k+1)*P is the right neighbor's first
+    plane (whose value :func:`ring_fill_mid` would deliver identically:
+    same matrix row against the same replicated input), and on the last
+    shard it is the real trailing plane gX-1.  Numerically identical to
+    ``resize_trilinear`` (same half-pixel matrices, same X->Y->Z order).
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    p = g_mid.X - 1
+    x_in = x5.shape[1]
+    gx = n * p + 1
+    m = jnp.asarray(_interp_matrix(x_in, gx), dtype=x5.dtype)
+    m_loc = lax.dynamic_slice(m, (idx * p, 0), (p + 1, x_in))
+    out = jnp.moveaxis(jnp.tensordot(x5, m_loc, axes=[[1], [1]]), -1, 1)
+    out = _interp_axis_matmul(out, 2, g_mid.Y)
+    out = _interp_axis_matmul(out, 3, g_mid.Z)
+    return out
 
 
 def sp_resize_to_slab(

@@ -112,22 +112,33 @@ def main() -> int:
     mesh = Mesh(devs, ("data", "space"))
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P("data", "space"))
-    step2 = make_train_step_sp(
-        make_apply_fn(model.clone(sp_axis="space")),
-        num_classes=OUT, mesh=mesh, momentum=0.9, donate=False,
-    )
-    mem2 = (
-        step2.lower(
-            _with_sharding(state, repl),
-            jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=bsh),
-            jax.ShapeDtypeStruct(lb.shape, lb.dtype, sharding=bsh),
+
+    def sp_peak(sp_model) -> int:
+        step2 = make_train_step_sp(
+            make_apply_fn(sp_model),
+            num_classes=OUT, mesh=mesh, momentum=0.9, donate=False,
         )
-        .compile()
-        .memory_analysis()
-    )
-    peak2 = _peak(mem2)
+        mem2 = (
+            step2.lower(
+                _with_sharding(state, repl),
+                jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=bsh),
+                jax.ShapeDtypeStruct(lb.shape, lb.dtype, sharding=bsh),
+            )
+            .compile()
+            .memory_analysis()
+        )
+        return _peak(mem2)
+
+    # sharded middle (round-5 default, slab+E layout) vs the round-4
+    # replicated-middle layout — the A/B for TpuConfig.sp_shard_middle
+    peak2 = sp_peak(model.clone(sp_axis="space"))
     print("PER_DEVICE_PEAK sp2", peak2, flush=True)
+    peak2_off = sp_peak(
+        model.clone(sp_axis="space", sp_shard_middle=False)
+    )
+    print("PER_DEVICE_PEAK sp2_mid_off", peak2_off, flush=True)
     ratio = peak2 / peak1
+    print(f"RATIO sp2_mid_off/single = {peak2_off / peak1:.3f}", flush=True)
     print(f"RATIO sp2/single = {ratio:.3f}", flush=True)
     return 0 if ratio < 0.75 else 2
 

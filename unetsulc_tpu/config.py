@@ -138,6 +138,15 @@ class TpuConfig:
     # collective pooled-size.  False = replicate everything past encoder
     # 1's pool (the round-4 layout).
     sp_shard_middle: bool = True
+    # run this many CV folds CONCURRENTLY, each on its own device group
+    # (experiment/driver.py): jax.devices() is partitioned into
+    # `fold_parallel` contiguous groups and fold i runs on group
+    # i % fold_parallel in its own thread — the TPU-native mapping of the
+    # reference's embarrassingly-parallel fold loop (ref main.py:131-145;
+    # SURVEY.md §2.2c experiment parallelism).  Each fold's own
+    # data/spatial parallelism (dp x sp <= group size) builds its mesh
+    # from the group's devices.  1 = the reference's sequential loop.
+    fold_parallel: int = 1
     # host->device prefetch depth
     prefetch: int = 2
     # threshold sweep votes on device (train/step.py make_vote_fn): only

@@ -138,6 +138,157 @@ def threshold_vote(results: dict, rng: Optional[np.random.Generator] = None):
     return per_fold, best_th
 
 
+def merge_fold_results(canonical: dict, fold: dict) -> None:
+    """Merge one fold's results (from a fresh per-fold method) into the
+    canonical dict IN FOLD ORDER, reproducing the sequential method's
+    accumulation exactly (pinned by
+    tests/test_experiment.py::test_fold_parallel_matches_sequential).
+
+    Every per-fold quantity the method layer records is list-appended
+    fold-major in a sequential run, so extending reproduces it; the two
+    exceptions are the reference's image-size quirk (fold 0 stores a FLAT
+    [x, y, z], later folds append nested lists — ref training.py:152-158)
+    and ``threshold_scores`` (a dict of per-threshold per-fold lists).
+    """
+    for key, val in fold.items():
+        if key in ("train_image_size", "val_image_size"):
+            if key not in canonical:
+                canonical[key] = val
+            else:
+                canonical[key].append(val)
+        elif key == "threshold_scores":
+            tgt = canonical.setdefault(key, {})
+            for th, scores in val.items():
+                tgt.setdefault(th, []).extend(scores)
+        elif isinstance(val, list):
+            canonical.setdefault(key, []).extend(val)
+        else:
+            canonical[key] = val
+
+
+def _fold_worker(
+    params: Parameters,
+    graphs,
+    cvi: int,
+    glist_train,
+    glist_test,
+    glist_notcut_test,
+    group,
+    model_name: str,
+):
+    """Run ONE CV fold on its own device group; returns the fold's
+    results dict (merged by the driver in fold order).
+
+    The worker builds a fresh method instance (cached extracted data is
+    re-read from the data JSON the canonical method just wrote) so
+    concurrent folds share no mutable state; folds are numerically
+    independent by construction — fixed init seed per fold
+    (training.py load_network), replayable per-(seed, epoch, index)
+    augmentation RNG — so this reproduces the sequential loop exactly.
+    ``jax.default_device`` is thread-local, pinning the single-device
+    fold's computation to the group's first device; dp/sp folds build
+    their mesh from the group (training.py _cached_steps ``devices``).
+    """
+    import jax
+
+    method = build_method(params, graphs)
+    method.devices = tuple(group)
+    method.cv_index_offset = cvi
+    with jax.default_device(group[0]):
+        method.learning(
+            lr=params.lr,
+            momentum=params.momentum,
+            num_epochs=params.n_epochs,
+            gfile_list_train=glist_train,
+            gfile_list_test=glist_test,
+            batch_size=params.batch_size,
+            patience=params.patience,
+            save_results=True,
+        )
+        if glist_notcut_test is not None:
+            print("\nCutting")
+            method.test_thresholds(
+                gfile_list_test=glist_test,
+                gfile_list_notcut_test=glist_notcut_test,
+                threshold_range=params.th_range,
+            )
+        method.save_model(name=model_name + "_cv" + str(cvi))
+        if params.tpu.evaluate:
+            from unetsulc_tpu.experiment.evaluation import evaluate_cohort
+
+            evaluate_cohort(
+                method,
+                glist_test,
+                model_name,
+                f"{model_name}_cv{cvi}",
+                params.cohort_file(),
+            )
+    return method.results
+
+
+def _run_folds_parallel(
+    params: Parameters,
+    method,
+    folds,
+    graphs,
+    notcut_agraphs,
+    completed_folds: int,
+    model_name: str,
+) -> None:
+    """Experiment parallelism (SURVEY.md §2.2c; TpuConfig.fold_parallel):
+    run the remaining CV folds concurrently, one per device group.
+
+    The reference's fold loop is embarrassingly parallel (ref
+    main.py:131-145: a fresh model/optimizer per fold, results only
+    appended); here ``jax.devices()`` is partitioned into contiguous
+    groups (parallel/mesh.py device_groups) and each fold trains on its
+    own group in a thread — dispatch is asynchronous, so device compute
+    overlaps across groups while the host interleaves Python.  Results
+    merge back IN FOLD ORDER (merge_fold_results) and persist after each
+    in-order merge (crash drops only out-of-order completions; their
+    fold models are already on disk).  The group layout is recorded in
+    the results JSON under ``fold_parallel``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from unetsulc_tpu.parallel.mesh import device_groups
+
+    groups = device_groups(params.tpu.fold_parallel)
+    print(
+        f"fold_parallel={len(groups)}: running folds concurrently on "
+        f"device groups {[[str(d) for d in g] for g in groups]}"
+    )
+    layout = {
+        "n_groups": len(groups),
+        "groups": [[str(d) for d in g] for g in groups],
+        "folds": {},
+    }
+    futures = {}
+    with ThreadPoolExecutor(max_workers=len(groups)) as ex:
+        for cvi, (train, test) in folds:
+            gi = (cvi - completed_folds) % len(groups)
+            layout["folds"][str(cvi)] = gi
+            futures[cvi] = ex.submit(
+                _fold_worker,
+                params,
+                graphs,
+                cvi,
+                list(np.asarray(graphs)[train]),
+                list(np.asarray(graphs)[test]),
+                (
+                    list(notcut_agraphs[test])
+                    if notcut_agraphs is not None
+                    else None
+                ),
+                groups[gi],
+                model_name,
+            )
+        for cvi in sorted(futures):
+            merge_fold_results(method.results, futures[cvi].result())
+            method.results["fold_parallel"] = layout
+            method.save_results()  # crash-safe per in-order fold
+
+
 def run_experiment(params: Parameters):
     """Full CV run (the reference's __main__ block, ref main.py:65-185)."""
     print("working directory: ", params.working_path)
@@ -177,8 +328,19 @@ def run_experiment(params: Parameters):
             completed_folds = len(prior["lr"])
             print(f"Resuming: {completed_folds} fold(s) already complete")
 
+    if params.tpu.fold_parallel > 1:
+        remaining = [
+            (cvi, split)
+            for cvi, split in enumerate(kf.split(graphs))
+            if cvi >= completed_folds
+        ]
+        _run_folds_parallel(
+            params, method, remaining, graphs, notcut_agraphs,
+            completed_folds, model_name,
+        )
+
     for cvi, (train, test) in enumerate(kf.split(graphs)):
-        if cvi < completed_folds:
+        if cvi < completed_folds or params.tpu.fold_parallel > 1:
             continue
         print(
             "\n== Cross Validation {}/{} ==\n".format(cvi, params.n_cvinner - 1)

@@ -107,6 +107,13 @@ class SulciLabeller:
             self.trfile = None
 
         self._predict_fns: Dict = {}
+        # experiment parallelism (TpuConfig.fold_parallel): the fold's
+        # device group (tuple; None = all visible devices) and its true CV
+        # index for on-disk names — a concurrent fold runs in a fresh
+        # method whose internal results indices start at 0
+        # (experiment/driver.py _fold_worker)
+        self.devices = None
+        self.cv_index_offset = 0
         print("Working on", jax.devices()[0])
 
     # ------------------------------------------------------------------

@@ -50,9 +50,15 @@ import os
 
 @functools.lru_cache(maxsize=32)
 def _cached_steps(model_def, num_classes: int, momentum: float,
-                  dp: int = 1, spatial: int = 1, sp_cpu: bool = False):
+                  dp: int = 1, spatial: int = 1, sp_cpu: bool = False,
+                  devices=None):
     """One (train_step, eval_step, execution_path) triple per
-    (model config, mesh shape).
+    (model config, mesh shape, device group).
+
+    ``devices`` (hashable tuple, default all visible) is the fold's
+    device group under experiment parallelism (TpuConfig.fold_parallel,
+    experiment/driver.py): the dp/sp mesh is built from it so concurrent
+    folds' collectives never cross groups.
 
     ``execution_path`` is the statically-resolved routing record the
     method layer writes into the results JSON ``tpu`` key (VERDICT r3
@@ -147,7 +153,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
             make_train_step_sp,
         )
 
-        mesh = make_mesh(data=dp, space=spatial)
+        mesh = make_mesh(data=dp, space=spatial, devices=devices)
         sp_apply = make_apply_fn(model_def.clone(sp_axis="space"))
         return (
             make_train_step_sp(
@@ -168,7 +174,7 @@ def _cached_steps(model_def, num_classes: int, momentum: float,
             make_train_step_dp,
         )
 
-        mesh = make_mesh(data=dp, space=1)
+        mesh = make_mesh(data=dp, space=1, devices=devices)
         return (
             make_train_step_dp(
                 apply_fn,
@@ -379,6 +385,7 @@ class TrainingSulciLabeller(SulciLabeller):
             self.model_def, num_classes, momentum,
             dp=dp, spatial=self.tpu.spatial_parallel,
             sp_cpu=self.tpu.sp_pallas_cpu,
+            devices=self.devices,
         )
         state = self._state
 
@@ -390,7 +397,10 @@ class TrainingSulciLabeller(SulciLabeller):
                 replicate,
             )
 
-            mesh = make_mesh(data=dp, space=self.tpu.spatial_parallel)
+            mesh = make_mesh(
+                data=dp, space=self.tpu.spatial_parallel,
+                devices=self.devices,
+            )
             sharding = batch_sharding(mesh)
             # params/opt state replicated across the mesh; XLA then lowers
             # the grad reduction to one all-reduce over ICI per step
@@ -431,8 +441,13 @@ class TrainingSulciLabeller(SulciLabeller):
                 self.working_path, "tensorboard", self.model_name
             )
             os.makedirs(log_dir, exist_ok=True)
+            # under fold_parallel each fold runs in a FRESH method whose
+            # results start empty (num_training == 0); cv_index_offset
+            # restores the fold's true index for on-disk names
             writer = SummaryWriter(
-                log_dir=os.path.join(log_dir, "cv" + str(num_training))
+                log_dir=os.path.join(
+                    log_dir, "cv" + str(self.cv_index_offset + num_training)
+                )
             )
 
         ctrl = self._controllers(patience)
@@ -460,7 +475,7 @@ class TrainingSulciLabeller(SulciLabeller):
                     self.working_path,
                     "checkpoints",
                     self.model_name,
-                    f"cv{num_training}",
+                    f"cv{self.cv_index_offset + num_training}",
                 )
             )
             if self.tpu.resume and ckptr.latest() is not None:

@@ -42,6 +42,26 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "space"))
 
 
+def device_groups(
+    n_groups: int, devices: Optional[Sequence] = None
+) -> list:
+    """Partition the visible devices into ``n_groups`` contiguous groups.
+
+    The unit of experiment parallelism (SURVEY.md §2.2c): each concurrent
+    CV fold runs on its own group (experiment/driver.py fold_parallel),
+    building its data/spatial mesh from the group's devices — contiguous
+    slices keep a group's collectives on neighboring ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert 1 <= n_groups <= n, (n_groups, n)
+    assert n % n_groups == 0, (
+        f"fold_parallel={n_groups} must divide the {n} visible devices"
+    )
+    per = n // n_groups
+    return [tuple(devices[i * per:(i + 1) * per]) for i in range(n_groups)]
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (B, X, Y, Z, ...) batches: B over 'data', X over 'space'."""
     return NamedSharding(mesh, P("data", "space"))

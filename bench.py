@@ -230,16 +230,29 @@ def bench_label_latency() -> float:
     thresholds = [50, 100, 150]  # BASELINE.json inference config
     vote = make_vote_fn()
     handles = []
+    # component accumulators (VERDICT r4 weak 5: did the bottleneck move
+    # from the tunnel's score fetch to the host geometry?): per-volume
+    # serial time in the ypred fetch, the host-side scipy/KD-tree
+    # re-segmentation, and the vote dispatch+fetch
+    comp = {"ypred_fetch": 0.0, "host_geometry": 0.0, "vote_roundtrip": 0.0}
 
-    def sweep(handle):
+    def sweep(handle, measure=True):
+        t1 = time.perf_counter()
         ypred = np.asarray(handle[0])[:n_real]
+        t2 = time.perf_counter()
         parts = cut_part_ids_multi(ypred, vert, bck2, thresholds)
         p_pad = max(128, -(-(int(parts.max()) + 1) // 128) * 128)
         pid = np.full((len(thresholds), n_pad), p_pad, np.int32)
         pid[:, :n_real] = parts
+        t3 = time.perf_counter()
         np.asarray(vote(handle[1], jnp.asarray(pid), p_pad))
+        t4 = time.perf_counter()
+        if measure:
+            comp["ypred_fetch"] += t2 - t1
+            comp["host_geometry"] += t3 - t2
+            comp["vote_roundtrip"] += t4 - t3
 
-    sweep(label(params, x, *c))  # compile the vote executable
+    sweep(label(params, x, *c), measure=False)  # compile the vote executable
     t0 = time.perf_counter()
     for _ in range(n_vols):
         handles.append(label(params, x, *c))
@@ -256,6 +269,9 @@ def bench_label_latency() -> float:
                 "unit": "ms/volume",
                 "n_volumes": n_vols,
                 "thresholds": thresholds,
+                "breakdown_ms_per_volume": {
+                    k: round(v / n_vols * 1e3, 1) for k, v in comp.items()
+                },
             }
         )
     )

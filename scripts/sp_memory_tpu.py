@@ -129,16 +129,23 @@ def main() -> int:
         )
         return _peak(mem2)
 
-    # sharded middle (round-5 default, slab+E layout) vs the round-4
-    # replicated-middle layout — the A/B for TpuConfig.sp_shard_middle
+    # round-5 default (deep slab+E, levels 0-2 sharded) vs mid-only
+    # (levels 0-1) vs the round-4 replicated-middle layout — the A/B for
+    # TpuConfig.sp_shard_middle / sp_shard_deep
     peak2 = sp_peak(model.clone(sp_axis="space"))
     print("PER_DEVICE_PEAK sp2", peak2, flush=True)
+    peak2_nodeep = sp_peak(
+        model.clone(sp_axis="space", sp_shard_deep=False)
+    )
+    print("PER_DEVICE_PEAK sp2_deep_off", peak2_nodeep, flush=True)
     peak2_off = sp_peak(
         model.clone(sp_axis="space", sp_shard_middle=False)
     )
     print("PER_DEVICE_PEAK sp2_mid_off", peak2_off, flush=True)
     ratio = peak2 / peak1
     print(f"RATIO sp2_mid_off/single = {peak2_off / peak1:.3f}", flush=True)
+    print(f"RATIO sp2_deep_off/single = {peak2_nodeep / peak1:.3f}",
+          flush=True)
     print(f"RATIO sp2/single = {ratio:.3f}", flush=True)
     return 0 if ratio < 0.75 else 2
 

@@ -407,6 +407,68 @@ def test_transfer_learning_experiment(experiment_results, cohort_dir, tmp_path):
     )
 
 
+def test_fold_parallel_transfer_matches_sequential(
+    experiment_results, cohort_dir, tmp_path
+):
+    """fold_parallel composes with the transfer-learning method: the
+    concurrent driver reproduces the sequential transfer run exactly,
+    including the fine_tunning forced-unfreeze bookkeeping (the transfer
+    schema's per-fold keys merge like the training ones)."""
+    import shutil
+
+    params, _ = experiment_results
+    wp_src = params.working_path
+
+    def run(wp, fold_parallel):
+        shutil.copytree(op.join(wp_src, "cohorts"), op.join(wp, "cohorts"))
+        tparams = Parameters.from_dict(
+            {
+                "working_path": wp,
+                "learning": "transfer_learning",
+                "cohort_name": "Synth6",
+                "hemi": "L",
+                "batch_size": 2,
+                "lr": 0.05,
+                "momentum": 0.9,
+                "n_cvinner": 2,
+                "n_epochs": 2,
+                "th_range": [10],
+                "dict_model": {
+                    "name": "TransferFoldPar",
+                    "num_filter": 8,
+                    "training_layers": ["final_conv"],
+                    "fine_tunning_layers": ["decoders.2"],
+                },
+                "dict_trained_model": {
+                    "model_file": op.join(
+                        wp_src, "models", "SmokeModel",
+                        "SmokeModel_cv0_model.mdsm",
+                    ),
+                    "out_channels": op.join(
+                        wp_src, "models", "SmokeModel",
+                        "SmokeModel_cv0_params.json",
+                    ),
+                    "init_channel_number": 8,
+                },
+                "patience": {"fine_tunning": 1},
+                "tpu": {
+                    "compute_dtype": "float32",
+                    "prefetch": 0,
+                    "fold_parallel": fold_parallel,
+                },
+            }
+        )
+        return run_experiment(tparams)
+
+    seq = run(str(tmp_path / "seq"), 1)
+    par = run(str(tmp_path / "par"), 2)
+    assert par.pop("fold_parallel")["n_groups"] == 2
+    timing = {"duration", "voxels_per_sec_train", "voxels_per_sec_val"}
+    assert set(seq) - timing == set(par) - timing
+    for key in set(seq) - timing:
+        assert seq[key] == par[key], key
+
+
 def test_missing_cohort_error(tmp_path):
     params = Parameters.from_dict(
         {"working_path": str(tmp_path), "cohort_name": "Nope", "hemi": "L"}

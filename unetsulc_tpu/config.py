@@ -138,6 +138,11 @@ class TpuConfig:
     # collective pooled-size.  False = replicate everything past encoder
     # 1's pool (the round-4 layout).
     sp_shard_middle: bool = True
+    # recurse the slab+E layout to level 2 too (encoder 2 + decoder 0;
+    # models/unet3d.py sp_shard_deep): ~97% of step FLOPs on the sp axis,
+    # only level 3 replicated.  Per-shape gated — buckets whose slab
+    # cannot split twice keep the mid-only layout for that executable.
+    sp_shard_deep: bool = True
     # run this many CV folds CONCURRENTLY, each on its own device group
     # (experiment/driver.py): jax.devices() is partitioned into
     # `fold_parallel` contiguous groups and fold i runs on group

@@ -203,6 +203,7 @@ class SulciLabeller:
             # pytree (bit-exact, tests/test_pallas.py)
             pallas_blocks=self.tpu.pallas_blocks,
             sp_shard_middle=self.tpu.sp_shard_middle,
+            sp_shard_deep=self.tpu.sp_shard_deep,
         )
         kw.update(over)
         return UNet3D(**kw)

@@ -426,20 +426,34 @@ class Encoder(nn.Module):
     sp_pool_axis: Optional[str] = None
     # sharded-middle encoder (level 1): see sp_pool_axis
     sp_mid: bool = False
-    # level-2 boundary when the middle is sharded: the input is encoder
-    # 1's LOCAL slab+E output — all-gather it (still pooled-size) into the
-    # replicated volume this and the deeper levels run on
+    # deep-sharded encoder (level 2, ``sp_shard_deep``): the input is the
+    # sharded level-1 slab+E output — pool it locally into the NEXT
+    # slab+E layout (sp_pool_local_mid) and run this DoubleConv sharded
+    # too
+    sp_pool_from_mid: bool = False
+    # boundary into the replicated deep levels: the input is a sharded
+    # slab+E output — all-gather it (still pooled-size or smaller) into
+    # the replicated volume this and the deeper levels run on
     sp_gather_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         assert self.sp_axis is None or self.sp_mid or not self.pool, (
             "spatial-parallel encoders are pool-free (level 0 only) "
-            "except the sharded-middle level-1 encoder (sp_mid)"
+            "except the sharded slab+E encoders (sp_mid)"
         )
         if self.pool:
             if isinstance(x, PallasVol):
-                if self.sp_pool_axis is not None and self.sp_mid:
+                if self.sp_pool_axis is not None and self.sp_pool_from_mid:
+                    from unetsulc_tpu.parallel.sp_pallas import (
+                        sp_pool_local_mid,
+                    )
+
+                    buf, gg = sp_pool_local_mid(
+                        x.buf, x.aff, x.g, self.sp_pool_axis
+                    )
+                    x = PallasVol(buf, None, gg)
+                elif self.sp_pool_axis is not None and self.sp_mid:
                     from unetsulc_tpu.parallel.sp_pallas import (
                         sp_pool_local,
                     )
@@ -593,14 +607,21 @@ class Decoder(nn.Module):
             # affine pending into the pair conv
             gt = encoder_features.g
             if self.sp_axis is not None and self.sp_mid:
-                # sharded middle (level 1): x is the REPLICATED level-2
-                # output; resize straight to this shard's slab+E rows of
-                # the pooled level (parallel/sp_pallas.py) — the pair conv
-                # below runs sharded against encoder 1's local skip
+                # sharded slab+E level: resize the replicated deeper
+                # output straight to this shard's slab+E rows
+                # (parallel/sp_pallas.py) — the pair conv below runs
+                # sharded against the level's local skip
                 from unetsulc_tpu.parallel.sp_pallas import (
+                    sp_mid_gather,
                     sp_resize_to_slab_mid,
                 )
 
+                if self.sp_gather:
+                    # the deeper decoder ran sharded too (sp_shard_deep):
+                    # gather its local slab+E output (level-2 size) into
+                    # the replicated volume the resize reads
+                    buf, gg = sp_mid_gather(x.buf, x.g, self.sp_axis)
+                    x = PallasVol(buf, x.aff, gg)
                 up5 = sp_resize_to_slab_mid(
                     cp.unpad_from_geom(x.buf, x.g), gt, self.sp_axis
                 )
@@ -811,6 +832,14 @@ class UNet3D(nn.Module):
     # tests/test_parallel.py (sp_pallas tests run both).  False =
     # round-4 behavior (replicate from the pooled level up).
     sp_shard_middle: bool = True
+    # recurse the slab+E layout one more level (encoder 2 + decoder 0
+    # over the twice-pooled extent, parallel/sp_pallas.py
+    # sp_pool_local_mid): lifts compute coverage to ~97% of step FLOPs
+    # (only level 3 replicates).  Gated per input shape in __call__ —
+    # buckets whose local slab cannot split twice (P1 odd or P2 < 4
+    # planes) keep the mid-only layout for that executable, with
+    # identical numerics.  Requires sp_shard_middle.
+    sp_shard_deep: bool = True
 
     def _shard_widths_ok(self) -> bool:
         """Every channel count the pipeline shards must satisfy
@@ -888,11 +917,23 @@ class UNet3D(nn.Module):
         # sp partition plan (parallel/sp_pallas.py): level 0 sharded on
         # local slabs; with sp_shard_middle the POOLED level 1 is sharded
         # too (slab+E layout: encoder 1's convs and decoder 1's pair
-        # convs run on local pooled slabs, skip stays local) and only
-        # levels 2-3 replicate, each boundary crossing a pooled-size
-        # all_gather; otherwise everything past encoder 1's pool
-        # replicates (round-4 behavior)
+        # convs run on local pooled slabs, skip stays local); with
+        # sp_shard_deep the layout recurses once more to level 2
+        # (encoder 2 + decoder 0, slab+E over the twice-pooled extent) so
+        # only level 3 replicates.  Otherwise everything past encoder 1's
+        # pool replicates (round-4 behavior).  Every boundary crossing is
+        # a pooled-size-or-smaller all_gather.
         sp_mid = sp is not None and self.sp_shard_middle
+        # deep gate is PER SHAPE (each bucket compiles its own
+        # executable): the local slab must split twice more — P1 = S/2
+        # even and P2 = S/4 >= 4 planes — else that bucket keeps the
+        # mid-only layout (identical numerics, no crash)
+        sp_deep = (
+            sp_mid
+            and self.sp_shard_deep
+            and int(x.shape[1]) % 4 == 0
+            and int(x.shape[1]) // 4 >= 4
+        )
         skips = []
         for n, (cin, cout) in enumerate(enc_chans):
             x = enc_cls(
@@ -902,10 +943,18 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
-                sp_axis=sp if n == 0 or (n == 1 and sp_mid) else None,
-                sp_pool_axis=sp if n == 1 else None,
-                sp_mid=sp_mid and n == 1,
-                sp_gather_axis=sp if (n == 2 and sp_mid) else None,
+                sp_axis=sp if (
+                    n == 0 or (n == 1 and sp_mid) or (n == 2 and sp_deep)
+                ) else None,
+                sp_pool_axis=sp if (
+                    n == 1 or (n == 2 and sp_deep)
+                ) else None,
+                sp_mid=(sp_mid and n == 1) or (sp_deep and n == 2),
+                sp_pool_from_mid=sp_deep and n == 2,
+                sp_gather_axis=sp if (
+                    (n == 2 and sp_mid and not sp_deep)
+                    or (n == 3 and sp_deep)
+                ) else None,
                 name=f"encoders_{n}",
             )(x)
             if self.dropout > 0:
@@ -926,9 +975,11 @@ class UNet3D(nn.Module):
                 order=self.conv_layer_order,
                 compute_dtype=self.compute_dtype,
                 pallas=pallas,
-                sp_axis=sp if n == 2 or (n == 1 and sp_mid) else None,
-                sp_mid=sp_mid and n == 1,
-                sp_gather=sp_mid and n == 2,
+                sp_axis=sp if (
+                    n == 2 or (n == 1 and sp_mid) or (n == 0 and sp_deep)
+                ) else None,
+                sp_mid=(sp_mid and n == 1) or (sp_deep and n == 0),
+                sp_gather=(sp_mid and n == 2) or (sp_deep and n == 1),
                 name=f"decoders_{n}",
             )(skip, x)
 

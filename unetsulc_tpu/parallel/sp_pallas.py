@@ -28,14 +28,23 @@ Partition plan (sp wiring in models/unet3d.py UNet3D.__call__):
   never leaves its shard.  This lifts sp's compute coverage from ~53%
   to ~80% of step FLOPs (Amdahl cap ~2x -> ~5x) at the cost of one
   duplicated plane of compute per shard (~1/P).
-* **Levels 2-3 replicated** — encoder 1's output all-gathers
-  (pooled-size x 2i channels) into the replicated deep levels; so does
-  decoder 1's output for decoder 2's upsample.  No full-resolution
-  buffer is ever replicated, so per-device peak activation memory
-  scales with the mesh (pinned by
-  test_parallel.py::test_sp_memory_scales).  ``sp_shard_middle=False``
-  restores the round-4 layout (replicate everything past encoder 1's
-  pool, one pooled-size gather).
+* **Level 2 sharded too when the slab splits twice** (``sp_shard_deep``,
+  default; round-5): the layout recurses — gX2 = floor(gX1/2) + 1 =
+  n*P2 + 1 for P2 = P1/2, so encoder 2's pool runs mid -> mid2 locally
+  (sp_pool_local_mid) and encoder 2 + decoder 0 run sharded in the same
+  slab+E halo mode (ring_fill_mid and the gathers are generic over P).
+  Gated PER SHAPE at trace time (P1 even, P2 >= 4 planes; each bucket
+  compiles its own executable), so awkward buckets keep the mid-only
+  layout with identical numerics.  Compute coverage reaches ~97% of
+  step FLOPs — only level 3 (~2.5%) replicates.
+* **Level 3 replicated** — the deepest sharded level's output
+  all-gathers (level-2 size x 4i channels under deep, else pooled-size
+  x 2i) into the replicated bottom; the symmetric gather feeds each
+  replicated decoder input.  No full-resolution buffer is ever
+  replicated, so per-device peak activation memory scales with the mesh
+  (pinned by test_parallel.py::test_sp_memory_scales).
+  ``sp_shard_middle=False`` restores the round-4 layout (replicate
+  everything past encoder 1's pool, one pooled-size gather).
 * **Re-shard at decoder 2** — the trilinear upsample back to full
   resolution computes only the local slab's rows (the X-axis
   interpolation matrix is row-sliced per shard), feeding the sharded
@@ -314,6 +323,104 @@ def sp_pool_local(
         ),
     )
     return out.reshape(k, gm.Xp, gm.plane, cs), gm
+
+
+def sp_pool_local_mid(
+    buf: jnp.ndarray,
+    aff: Optional[jnp.ndarray],
+    g_mid: cp.Geom,
+    axis_name: str,
+):
+    """Torch-padded max pool from one slab+E mid layout into the NEXT
+    (mid2) slab+E layout — the level 1 -> 2 counterpart of
+    :func:`sp_pool_local` (round-5 deep sharding, ``sp_shard_deep``).
+
+    The structure recurses: the level-2 extent gX2 = floor(gX1/2) + 1
+    with gX1 = n*P1 + 1 equals n*P2 + 1 for P2 = P1/2, so shard k owns
+    level-2 planes [k*P2, (k+1)*P2) plus the usual E slot.  Plane
+    bookkeeping (torch pools input pairs (2j-1, 2j) with -inf padding):
+
+    * output j in [k*P2, (k+1)*P2) needs pooled-level planes
+      [k*P1 - 1, (k+1)*P1 - 1) — the owned slab plus the left neighbor's
+      LAST OWNED plane (one ppermute; -inf on shard 0 where that position
+      is the global pool padding);
+    * the unowned E duplicate (zero on non-last shards — kernel
+      ``valid_out`` masking) is never pooled: the pairs use only
+      from_left + owned[0 .. P1-2];
+    * the global trailing plane T2 = max(plane gX1-2, plane gX1-1) lives
+      entirely on the LAST shard (its last owned plane and its REAL E =
+      T1), YZ-pooled there and stored in the mid2 E slot.
+
+    Values are affine-normalized and cast exactly as ``max_pool_buf``
+    does single-device, so gathering the result reproduces the
+    single-device level-2 pool bitwise.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    k, xp, ps, cs = buf.shape
+    p1 = g_mid.X - 1
+    assert xp == p1 + 3 and p1 % 2 == 0, (buf.shape, g_mid)
+    p2 = p1 // 2
+    full_g1 = cp.make_geom(n * p1 + 1, g_mid.Y, g_mid.Z)
+    assert (full_g1.Yp, full_g1.Zp) == (g_mid.Yp, g_mid.Zp), (
+        full_g1, g_mid,
+    )
+    gg2 = cp.pool_geom(full_g1)
+    gm2 = cp.Geom(p2 + 1, gg2.Y, gg2.Z, p2 + 3, gg2.Yp, gg2.Zp)
+
+    neg = jnp.asarray(-jnp.inf, buf.dtype)
+    b5 = buf.reshape(k, xp, g_mid.Yp, g_mid.Zp, cs)
+    if aff is not None:
+        a = aff[:, 0, :][:, None, None, None, :]
+        b = aff[:, 1, :][:, None, None, None, :]
+        xn = (b5.astype(jnp.float32) * a + b).astype(buf.dtype)
+    else:
+        xn = b5
+    mask_yz = jnp.asarray(
+        g_mid.interior_mask_rows().reshape(g_mid.Yp, g_mid.Zp, 1) > 0
+    )
+    xn = jnp.where(mask_yz[None, None], xn, neg)
+    owned = xn[:, 1 : p1 + 1]  # (k, P1, Yp1, Zp1, cs) owned planes
+
+    from_left = lax.ppermute(
+        owned[:, -1], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_left = jnp.where(idx > 0, from_left, neg)
+    planes = jnp.concatenate([from_left[:, None], owned], axis=1)
+    pooled = lax.reduce_window(
+        planes,
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 2, 1),
+        (1, 2, 2, 2, 1),
+        "VALID",
+    )[:, :, : gm2.Y, : gm2.Z]  # (k, P2, gY2, gZ2, cs) owned outputs
+
+    # T2 = max over X of (last owned plane, real E = T1), last shard only
+    # — note the unowned E is ZERO (not -inf) off the last shard, but the
+    # result is gated to the last shard so it never leaks
+    t_in = jnp.maximum(owned[:, -1], xn[:, p1 + 1])
+    t_yz = lax.reduce_window(
+        t_in,
+        -jnp.inf,
+        lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )[:, : gm2.Y, : gm2.Z]
+    e2 = jnp.where(idx == n - 1, t_yz, jnp.zeros_like(t_yz))
+    interior = jnp.concatenate([pooled, e2[:, None]], axis=1)
+    out = jnp.pad(
+        interior,
+        (
+            (0, 0),
+            (1, 1),
+            (1, gm2.Yp - gm2.Y - 1),
+            (1, gm2.Zp - gm2.Z - 1),
+            (0, 0),
+        ),
+    )
+    return out.reshape(k, gm2.Xp, gm2.plane, cs), gm2
 
 
 def ring_fill_mid(

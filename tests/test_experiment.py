@@ -407,13 +407,15 @@ def test_transfer_learning_experiment(experiment_results, cohort_dir, tmp_path):
     )
 
 
-def test_fold_parallel_transfer_matches_sequential(
-    experiment_results, cohort_dir, tmp_path
+def test_fold_parallel_transfer_falls_back_sequential(
+    experiment_results, cohort_dir, tmp_path, capsys
 ):
-    """fold_parallel composes with the transfer-learning method: the
-    concurrent driver reproduces the sequential transfer run exactly,
-    including the fine_tunning forced-unfreeze bookkeeping (the transfer
-    schema's per-fold keys merge like the training ones)."""
+    """Transfer folds carry state ACROSS folds by reference semantics
+    (the fine-tuning unfreeze extends the method's training_layers, so
+    folds after the first train the decoder layers from epoch 0 —
+    method/transfer.py _post_epoch, ref transfer_learning.py:389).
+    fold_parallel therefore falls back to the sequential loop for
+    transfer_learning, loudly, and reproduces it exactly."""
     import shutil
 
     params, _ = experiment_results
@@ -462,7 +464,10 @@ def test_fold_parallel_transfer_matches_sequential(
 
     seq = run(str(tmp_path / "seq"), 1)
     par = run(str(tmp_path / "par"), 2)
-    assert par.pop("fold_parallel")["n_groups"] == 2
+    out = capsys.readouterr().out
+    assert "running folds sequentially" in out
+    # sequential fallback: no group layout recorded, results exact
+    assert "fold_parallel" not in par
     timing = {"duration", "voxels_per_sec_train", "voxels_per_sec_val"}
     assert set(seq) - timing == set(par) - timing
     for key in set(seq) - timing:

@@ -624,6 +624,40 @@ def test_sp_pallas_deep_equivalence(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_sp_pallas_deep_sp4_interior_shards(monkeypatch):
+    """Deep sharding at sp=4 with a bucket large enough to split twice
+    (X=64: S=16, P1=8, P2=4): exercises INTERIOR shards at the deep
+    level — both rings halo-filled and the E duplicate taken from a
+    right neighbor that is itself interior — which the sp=2 deep test
+    (edge shards only) cannot cover.  One step keeps the interpret-mode
+    cost bounded; losses/counts/params must match single-device
+    exactly."""
+    monkeypatch.setenv("UNETSULC_KFOLD9", "0")
+    from unetsulc_tpu.models.unet3d import make_apply_fn
+    from unetsulc_tpu.train.step import make_train_step, make_train_step_sp
+
+    model, state, inputs, labels = _sp_pallas_setup(size=(64, 8, 8))
+    step1 = make_train_step(make_apply_fn(model), num_classes=3,
+                            donate=False)
+    losses_1, counts_1, params_1 = _run_steps(state, step1, inputs, labels,
+                                              n=1)
+
+    mesh = make_mesh(data=1, space=4)
+    sp_apply = make_apply_fn(model.clone(sp_axis="space"))
+    step2 = make_train_step_sp(sp_apply, num_classes=3, mesh=mesh,
+                               donate=False)
+    bs = batch_sharding(mesh)
+    state_d = jax.device_put(state, replicate(mesh))
+    in_d = jax.device_put(jnp.asarray(inputs), bs)
+    lb_d = jax.device_put(jnp.asarray(labels), bs)
+    losses_2, counts_2, params_2 = _run_steps(state_d, step2, in_d, lb_d,
+                                              n=1)
+    np.testing.assert_allclose(losses_1, losses_2, rtol=1e-5)
+    np.testing.assert_array_equal(counts_1, counts_2)
+    for a, b in zip(params_1, params_2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_sp_memory_scales(monkeypatch):
     """The sp step never replicates a full-resolution buffer (VERDICT r3
     item 3): every all_gather in the lowered program is at most

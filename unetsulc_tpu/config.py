@@ -151,6 +151,10 @@ class TpuConfig:
     # SURVEY.md §2.2c experiment parallelism).  Each fold's own
     # data/spatial parallelism (dp x sp <= group size) builds its mesh
     # from the group's devices.  1 = the reference's sequential loop.
+    # transfer_learning always runs sequentially (loud fallback): its
+    # fine-tuning unfreeze mutates training_layers ACROSS folds — a
+    # deliberate reference-parity behavior (method/transfer.py
+    # _post_epoch) that concurrent fresh-method folds would change.
     fold_parallel: int = 1
     # host->device prefetch depth
     prefetch: int = 2

@@ -328,7 +328,23 @@ def run_experiment(params: Parameters):
             completed_folds = len(prior["lr"])
             print(f"Resuming: {completed_folds} fold(s) already complete")
 
-    if params.tpu.fold_parallel > 1:
+    fold_par = params.tpu.fold_parallel
+    if fold_par > 1 and params.learning == "transfer_learning":
+        # transfer folds are NOT embarrassingly parallel: the fine-tuning
+        # unfreeze mutates the method's training_layers across folds (a
+        # deliberate reference-parity quirk — after fold 0 fine-tunes,
+        # later folds train the decoder layers from epoch 0; method/
+        # transfer.py _post_epoch, ref transfer_learning.py:389 on a
+        # method object reused across CV folds).  Concurrent fresh-method
+        # folds would silently change those semantics, so fall back loudly.
+        print(
+            "fold_parallel: transfer_learning folds carry state across "
+            "folds (fine-tuning unfreeze extends training_layers for "
+            "subsequent folds, reference semantics) — running folds "
+            "sequentially"
+        )
+        fold_par = 1
+    if fold_par > 1:
         remaining = [
             (cvi, split)
             for cvi, split in enumerate(kf.split(graphs))
@@ -340,7 +356,7 @@ def run_experiment(params: Parameters):
         )
 
     for cvi, (train, test) in enumerate(kf.split(graphs)):
-        if cvi < completed_folds or params.tpu.fold_parallel > 1:
+        if cvi < completed_folds or fold_par > 1:
             continue
         print(
             "\n== Cross Validation {}/{} ==\n".format(cvi, params.n_cvinner - 1)

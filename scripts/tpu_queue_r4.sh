@@ -74,18 +74,20 @@ run_script_stage() {  # name, logfile, timeout, command...
 
 for pass in 1 2 3; do
   log "pass $pass"
-  # fast, decision-critical stages first
+  # fast, decision-critical stages first: the kfold9 A/B + MXU probe +
+  # step profile decide the round-5 optimization lever, and the latency
+  # breakdown decides whether the sweep bottleneck moved to the host
   ARGS="" run_bench_stage bench_main   /tmp/bench_r4_main.json   2400 UNUSED=
   ARGS="" run_bench_stage bench_kfold9 /tmp/bench_r4_kfold9.json 2400 UNETSULC_KFOLD9=1
-  ARGS="--batch 2" run_bench_stage bench_b2 /tmp/bench_r4_b2.json 2400 UNUSED=
-  ARGS="--latency" run_bench_stage bench_lat /tmp/bench_r4_lat.json 2400 UNUSED=
-  # BASELINE.json transfer configs on the final kernel set (VERDICT r3 #6)
-  ARGS="--freeze final_conv" run_bench_stage bench_fc /tmp/bench_r4_fc.json 2400 UNUSED=
-  ARGS="--freeze decoders" run_bench_stage bench_dec /tmp/bench_r4_dec.json 2400 UNUSED=
   VERIFY="roofline" run_script_stage mxu  /tmp/r4_mxu.log  3000 \
     python scripts/mxu_probe.py
   VERIFY="" run_script_stage prof /tmp/r4_prof.txt 3000 \
     python scripts/prof_step.py
+  ARGS="--latency" run_bench_stage bench_lat /tmp/bench_r4_lat.json 2400 UNUSED=
+  # BASELINE.json transfer configs on the final kernel set (VERDICT r3 #6)
+  ARGS="--freeze final_conv" run_bench_stage bench_fc /tmp/bench_r4_fc.json 2400 UNUSED=
+  ARGS="--freeze decoders" run_bench_stage bench_dec /tmp/bench_r4_dec.json 2400 UNUSED=
+  ARGS="--batch 2" run_bench_stage bench_b2 /tmp/bench_r4_b2.json 2400 UNUSED=
   VERIFY="RATIO sp2/single" run_script_stage sp_memory /tmp/r4_sp_memory.log \
     3000 python scripts/sp_memory_tpu.py
   # long accuracy runs last: paired Pallas/XLA at the reference's ~100

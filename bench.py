@@ -394,7 +394,7 @@ def bench_multichip(dp: int, sp: int, equivalence: Optional[bool] = None):
     return batch * int(np.prod(volume)) * steps / dt
 
 
-def _probe_backend(timeout_s: int = 300) -> bool:
+def _probe_backend(timeout_s: int | None = None) -> bool:
     """True iff the backend initializes AND compiles within ``timeout_s``.
 
     TPU-tunnel outages make ANY jax backend init hang forever under the
@@ -403,10 +403,18 @@ def _probe_backend(timeout_s: int = 300) -> bool:
     error line instead of hanging the driver.  Round-3 lesson: during a
     tunnel flap ``jax.devices()`` can succeed while every compile fails
     UNAVAILABLE, so on non-CPU backends the probe runs a real jitted
-    matmul and checks the value (cf. scripts/tpu_probe_real.py)."""
+    matmul and checks the value (cf. scripts/tpu_probe_real.py).
+
+    Round-5 lesson: the tunnel's client-admit latency is wildly variable
+    (tens of seconds to several minutes between identical probes), so a
+    tight timeout misreads a slow-admit window as an outage; default 300s,
+    raise via ``UNETSULC_PROBE_TIMEOUT`` for patient callers (the
+    measurement queue sets 900)."""
     import subprocess
     import sys
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("UNETSULC_PROBE_TIMEOUT", "300"))
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -473,7 +481,8 @@ def main():
                     "unit": "voxels/sec",
                     "vs_baseline": 0.0,
                     "error": "jax backend init+compile probe did not "
-                    "succeed in 300s (TPU tunnel outage? see CLAUDE.md)",
+                    f"succeed in {os.environ.get('UNETSULC_PROBE_TIMEOUT', '300')}s"
+                    " (TPU tunnel outage? see CLAUDE.md)",
                 }
             )
         )

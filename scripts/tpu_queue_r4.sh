@@ -18,7 +18,11 @@ STATE=/tmp/r4_stages
 mkdir -p "$STATE"
 log() { echo "== $* $(date +%H:%M:%S)" >> "$LOG"; }
 
-probe() { timeout 300 python scripts/tpu_probe_real.py >> "$LOG" 2>&1; }
+# Round-5: the tunnel's client-admit latency varies from seconds to
+# minutes between identical probes — patient timeouts stop misreading a
+# slow-admit window as an outage.
+export UNETSULC_PROBE_TIMEOUT=900
+probe() { timeout 600 python scripts/tpu_probe_real.py >> "$LOG" 2>&1; }
 
 wait_for_tpu() {
   # ~12h of probes, 90s apart (each failed probe costs <=300s).

@@ -96,7 +96,7 @@ def build_kernel(o_ref, s_ref, *, cs, copies):
     ps = norm.shape[0]
     for c in range(copies):
         s_ref[1:ps, c * cs : (c + 1) * cs] = norm[: ps - 1]
-    o_ref[0, 0] += jnp.sum(norm[0:1, 0:1])
+    o_ref[0:1, 0:1] += jnp.sum(norm[0:1, 0:1], keepdims=True)
 
 
 def time_build(cs, copies, ps=PS):
@@ -151,7 +151,7 @@ def main():
     print("== row-contraction (wgrad-style) dots ==", flush=True)
     for m, n in [(192, 192), (576, 192), (384, 128), (1152, 128),
                  (192, 576), (64, 192)]:
-        us = time_rdot(m, n)
+        us = time_one(f"rdot_m{m}_n{n}", time_rdot(m, n))
         per = us / REPS
         gf = 2 * PS * m * n / 1e9
         roof = gf / 197e3 * 1e6

@@ -61,6 +61,9 @@ def main() -> int:
             not (kw.get("halo") or kw.get("edge_outputs"))
             and kin * 3 * kf_rows * 9 * cs * xx.dtype.itemsize
             <= cp._KFOLD9_BUDGET
+            and not (
+                bool(kw.get("stats")) and fold and cs >= 64 and ps >= 8192
+            )
         )
         key = (
             sd(xx), sd(ab), sd(w), sd(bias), sd(kw.get("partial")),

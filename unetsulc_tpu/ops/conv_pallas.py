@@ -791,6 +791,13 @@ def conv_shards(
         not (halo or edge_outputs)
         and os.environ.get("UNETSULC_KFOLD9", "0") == "1"
         and kin * 3 * kf_rows * 9 * cs * x.dtype.itemsize <= _KFOLD9_BUDGET
+        # scripts/kfold9_compile_bisect.py (round 5): the level-0 fwd
+        # conv2 shape — stats+fold at cs=64, ps=10976 — reproducibly
+        # kills the tunnel's remote compile helper (subprocess exit 1,
+        # no diagnostic) while every other level-0/mid-level K-fold
+        # config compiles, including the same-zcat-size post/dx kernels.
+        # Keep that one config on the dy-fold path.
+        and not (stats and fold and cs >= 64 and ps >= 8192)
     )
 
     kern = functools.partial(

@@ -425,6 +425,61 @@ def test_pallas_train_step_multiconv_and_sigmoid():
     np.testing.assert_array_equal(outs["xla"][3], outs["pal"][3])
 
 
+def test_nmerge_matches_dyfold(monkeypatch):
+    """The N-merged fwd kernel (one [A|C|B] dot of N = 3cso per dx,
+    UNETSULC_NMERGE) == the dy-fold pair+middle kernel.
+
+    Round-5 MXU widening A/B: pack_weights_dyfold_merged concatenates
+    the dy pair and middle weight columns so each dx issues ONE
+    N = 3cso dot; _combine_dy_merged extracts y via row shifts + two
+    lane rolls.  Covers the mode matrix the fold path dispatches:
+    single/multi in-shard, partial composition, post (dx d-affine)
+    mode.  cso = 64 everywhere (the gate needs >= 64: merged width
+    >= 1.5 lane tiles on TPU; interpret mode has no tiles but tests
+    the shipped predicate)."""
+    r = np.random.default_rng(7)
+    g = cp.make_geom(6, 7, 5)
+
+    def mk(shape):
+        return jnp.asarray(r.standard_normal(shape).astype(np.float32))
+
+    for kin, kout, cs, cso, affine, partial, post in [
+        (1, 1, 8, 64, True, False, False),
+        (1, 2, 8, 64, True, True, False),
+        (2, 2, 16, 64, True, True, False),
+        (2, 1, 8, 64, False, True, True),
+        (1, 1, 8, 64, False, False, True),
+    ]:
+        buf = cp.pad_to_geom(mk((1, g.X, g.Y, g.Z, kin * cs)), g, cs=cs)
+        ab = (mk((kin, 2, cs)) * 0.3 + jnp.asarray([[1.0], [0.0]])
+              if affine else None)
+        w = mk((kin, kout, 27, cs, cso)) * 0.1
+        bias = mk((kout * cso,)) * 0.1
+        part = mk((kout, g.Xp, g.plane, cso)) * 0.1 if partial else None
+        pab = pxo = None
+        stats = not post
+        if post:
+            pab = mk((kout, 2, cso)) * 0.5 + jnp.asarray([[1.0], [0.0]])
+            pxo = cp.pad_to_geom(
+                mk((1, g.X, g.Y, g.Z, kout * cso)), g, cs=cso
+            )
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("UNETSULC_NMERGE", flag)
+            outs[flag] = cp.conv_shards(
+                buf, ab, w, bias, g=g, relu=not post, stats=stats,
+                partial=part, interpret=True, post_ab=pab, post_x=pxo,
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["1"][0]), np.asarray(outs["0"][0]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["1"][1]), np.asarray(outs["0"][1]),
+            rtol=1e-5, atol=1e-4,
+        )
+
+
 def test_kfold9_matches_rolling_slabs(monkeypatch):
     """The K-folded phase-buffer fwd kernel == the rolling-slab kernel.
 

@@ -237,6 +237,20 @@ def pack_weights_dyfold(wb: jnp.ndarray):
     return wac, wmid
 
 
+def pack_weights_dyfold_merged(wb: jnp.ndarray) -> jnp.ndarray:
+    """(Kin, Kout, 27, cs, cso) -> (Kin, Kout, 3, 3cs, 3cso), [A|C|B].
+
+    Round-5 N-merge experiment (``UNETSULC_NMERGE``): the dy-pair [A|C]
+    and the middle column B issue as ONE (plane, 3cs) @ (3cs, 3cso) dot
+    per dx instead of a pair dot plus a middle dot — the MXU probe
+    measures 7.45 µs for a K=192/N=192 dot vs 4.69 + 4.69 µs for the
+    N=128 + N=64 pair it replaces (/tmp/r5_mxu.log).  Extraction needs
+    no sub-tile lane slices: :func:`_combine_dy_merged` shifts rows at
+    the full merged width and uses two lane rolls, all offset-0 ops."""
+    wac, wmid = pack_weights_dyfold(wb)
+    return jnp.concatenate([wac, wmid], axis=-1)
+
+
 def pack_weights_dxfold9(wb: jnp.ndarray):
     """(Kin, Kout, 27, cs, cso) -> (wac9 (Kin,Kout,9cs,2cso), wmid9
     (Kin,Kout,9cs,cso)).
@@ -318,6 +332,23 @@ def _combine_dy(ac, b, ps: int, cso: int, zp: int):
     return b + (acd + c0)[:, 0:cso]
 
 
+def _combine_dy_merged(tm, ps: int, cso: int, zp: int):
+    """Fold ONE merged dy product [A|C|B] (ps, 3cso) into the output
+    plane (ps, cso): ``y[r] = A[r - zp] + B[r] + C[r + zp]``.
+
+    Same row-shift scheme as :func:`_combine_dy` at the merged width:
+    the down-shift leaves A[r-zp] on lanes [0, cso); a 2cso roll of the
+    up-shift brings C[r+zp] (lanes [cso, 2cso)) to lane 0; a cso roll
+    of ``tm`` brings B (lanes [2cso, 3cso)) to lane 0.  All shifts,
+    rolls, and the final slice are offset-0 operations Mosaic
+    supports."""
+    pad3 = jnp.zeros((zp, 3 * cso), tm.dtype)
+    acd = jnp.concatenate([pad3, tm[: ps - zp]], axis=0)  # A[r-zp] @ 0
+    acu = jnp.concatenate([tm[zp:], pad3], axis=0)  # C[r+zp] @ lane cso
+    out = acd + pltpu.roll(acu, 2 * cso, axis=1) + pltpu.roll(tm, cso, axis=1)
+    return out[:, 0:cso]
+
+
 def _build_slab(zcat, ki, si, norm, ps: int, cs: int, sg: int):
     """Write the dz lane-concat of ``norm`` into slab (ki, si).
 
@@ -353,6 +384,7 @@ def _fwd_kernel(
     has_vout: bool,
     post: bool,
     kfold: bool,
+    nmerge: bool,
 ):
     i = 0
     xnext = refs[i]  # (1, 1, plane, cs) block: incoming plane t+1 (clamped)
@@ -373,7 +405,11 @@ def _fwd_kernel(
     if has_vout:
         vout_ref = refs[i]  # (Xp,) f32 per-plane OUTPUT validity (SMEM)
         i += 1
-    if fold:
+    wacm_ref = None
+    if fold and nmerge:
+        wacm_ref = refs[i]  # (1, kout, 3, 3cs, 3cso): [A|C|B] merged
+        i += 1
+    elif fold:
         # kfold: (1, kout, 9cs, {2cso|cso}) — dx merged into K
         wac_ref = refs[i]  # (1, kout, 3, 3cs, 2cso): dy = 0/2 pair
         wmid_ref = refs[i + 1]  # (1, kout, 3, 3cs, cso): dy = 1
@@ -550,6 +586,19 @@ def _fwd_kernel(
                 )
                 finalize_ko(ko, _combine_dy(tac, tb, ps, cso, g.Zp), mask_t)
                 continue
+            if kin == 1 and fold and nmerge:
+                # single in-shard, N-merged: 3 dots of N = 3cso ([A|C|B]
+                # columns in one MXU issue per dx), combined by row
+                # shifts + two lane rolls
+                tm = None
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    c = dot_rows(si, wacm_ref[0, ko, dx])
+                    tm = c if tm is None else tm + c
+                finalize_ko(
+                    ko, _combine_dy_merged(tm, ps, cso, g.Zp), mask_t
+                )
+                continue
             if kin == 1 and fold:
                 # single in-shard, dy-folded: 3 pair dots (N = 2cso) + 3
                 # middle dots (N = cso) as values, combined by row shifts
@@ -617,6 +666,23 @@ def _fwd_kernel(
                 def _(ko=ko, cac=cac, cb=cb):
                     acc[ko] += cac
                     acc2[ko] += cb
+                continue
+            if fold and nmerge:
+                # multi-in-shard, N-merged: accumulate the (ps, 3cso)
+                # merged products in acc across ki; combine at the end
+                for dx in range(3):
+                    si = jax.lax.rem(t + 2 + dx, 3)
+                    cm = dot_rows(si, wacm_ref[0, ko, dx])
+                    if dx == 0:
+                        @pl.when(ki == 0)
+                        def _(ko=ko, cm=cm):
+                            acc[ko] = cm
+
+                        @pl.when(ki != 0)
+                        def _(ko=ko, cm=cm):
+                            acc[ko] += cm
+                    else:
+                        acc[ko] += cm
                 continue
             if fold:
                 for dx in range(3):
@@ -687,7 +753,13 @@ def _fwd_kernel(
             def _():
                 mask_t = _mask_t()
                 for ko in range(kout):
-                    if fold:
+                    if fold and nmerge:
+                        finalize_ko(
+                            ko,
+                            _combine_dy_merged(acc[ko], ps, cso, g.Zp),
+                            mask_t,
+                        )
+                    elif fold:
                         finalize_ko(
                             ko,
                             _combine_dy(acc[ko], acc2[ko], ps, cso, g.Zp),
@@ -799,6 +871,15 @@ def conv_shards(
         # Keep that one config on the dy-fold path.
         and not (stats and fold and cs >= 64 and ps >= 8192)
     )
+    # N-merge (round 5, UNETSULC_NMERGE A/B): issue the dy pair + middle
+    # columns as one N = 3cso dot per dx.  cso >= 64 keeps the merged
+    # width at >= 1.5 lane tiles (cso = 32 would run 96-lane ops).
+    nmerge = (
+        fold
+        and not kfold
+        and cso >= 64
+        and os.environ.get("UNETSULC_NMERGE", "0") == "1"
+    )
 
     kern = functools.partial(
         _fwd_kernel,
@@ -817,6 +898,7 @@ def conv_shards(
         has_vout=valid_out is not None,
         post=post,
         kfold=kfold,
+        nmerge=nmerge,
     )
 
     last = g.Xp - 1
@@ -866,6 +948,15 @@ def conv_shards(
             ),
         ]
         operands += [wac, wmid]
+    elif fold and nmerge:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, kout, 3, 3 * cs, 3 * cso),
+                lambda t, ki: (ki, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(pack_weights_dyfold_merged(w))
     elif fold:
         wac, wmid = pack_weights_dyfold(w)
         in_specs += [
@@ -972,13 +1063,15 @@ def conv_shards(
             # kin > 1: acc holds the [A|C] pair products (fold) or the
             # plain tap sums; acc2 holds the dy = 1 products (fold only).
             pltpu.VMEM(
-                (kout, ps, 2 * cso if fold else cso)
+                (kout, ps, (3 if nmerge else 2) * cso if fold else cso)
                 if kin > 1
                 else (1, 8, 128),
                 jnp.float32,
             ),
             pltpu.VMEM(
-                (kout, ps, cso) if (kin > 1 and fold) else (1, 8, 128),
+                (kout, ps, cso)
+                if (kin > 1 and fold and not nmerge)
+                else (1, 8, 128),
                 jnp.float32,
             ),
             pltpu.VMEM((kout, 2, cso), jnp.float32),

@@ -98,6 +98,9 @@ def main() -> int:
     )
 
     for tag, text in texts.items():
+        if "--dump" in sys.argv:
+            with open(f"/tmp/hlo_{tag}.txt", "w") as f:
+                f.write(text)
         tally, counts = census(text)
         total = sum(tally.values())
         print(f"== {tag}: {total/2**30:.2f} GiB across >=8MB shapes "

@@ -661,8 +661,11 @@ def test_sp_pallas_deep_sp4_interior_shards(monkeypatch):
 def test_sp_memory_scales(monkeypatch):
     """The sp step never replicates a full-resolution buffer (VERDICT r3
     item 3): every all_gather in the lowered program is at most
-    pooled-size, so per-device peak activation memory scales ~1/n at
-    level 0 where the memory lives.
+    pooled-size — the level-0 activations (where the memory lives) stay
+    sharded ~1/n.  (Measured round-5 caveat: per-device PEAK still does
+    not drop at sp=2 because the ring-halo concats multiply the buffer
+    count — BASELINE.md census paragraph; this test pins
+    no-replication, not the peak.)
 
     Pinned structurally on the lowered StableHLO rather than
     memory_analysis(): on the CPU test backend the interpret-mode kernel

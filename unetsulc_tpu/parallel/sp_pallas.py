@@ -41,8 +41,15 @@ Partition plan (sp wiring in models/unet3d.py UNet3D.__call__):
   all-gathers (level-2 size x 4i channels under deep, else pooled-size
   x 2i) into the replicated bottom; the symmetric gather feeds each
   replicated decoder input.  No full-resolution buffer is ever
-  replicated, so per-device peak activation memory scales with the mesh
-  (pinned by test_parallel.py::test_sp_memory_scales).
+  replicated (pinned by test_parallel.py::test_sp_memory_scales).
+  Measured caveat (BASELINE.md round-5 census): per-device PEAK does
+  not actually drop at sp=2 — each conv input's ring-halo concat
+  (:func:`ring_fill` / :func:`ring_planes_5d`) materializes a fresh
+  (S+2)-plane copy of the whole slab in fwd, remat'd bwd, and
+  wgrad/dx, ~2.3x the buffer count at ~0.5x the size.  The fix (pass
+  the two halo planes as separate kernel operands) is the top sp
+  lever; until then sp buys compute parallelism and collective-size
+  scaling, not peak-memory reduction.
   ``sp_shard_middle=False`` restores the round-4 layout (replicate
   everything past encoder 1's pool, one pooled-size gather).
 * **Re-shard at decoder 2** — the trilinear upsample back to full
@@ -140,9 +147,9 @@ def sp_pool_gather(
     Geom) where gX = n*S/2 + 1 — the torch MaxPool3d(2, 2, padding=1)
     extent of the global X = n*S (ops/conv_pallas.py pool_geom).  Only the
     POOLED volume is ever replicated: ~8x fewer elements than gathering
-    the full-resolution level-0 output, so per-device peak activation
-    memory scales with the mesh (the §2.2b design target; pinned by
-    tests/test_parallel.py::test_sp_memory_scales).
+    the full-resolution level-0 output (the §2.2b design target; pinned
+    by tests/test_parallel.py::test_sp_memory_scales; see the module
+    docstring for the measured peak-memory caveat).
 
     Plane bookkeeping (torch pools input pairs (2j-1, 2j) with -inf
     padding, so pairs straddle the slab boundaries): shard k owns output

@@ -22,6 +22,10 @@ BENCH_FILES = [
     ("bench_lat", "/tmp/bench_r4_lat.json", "label latency (p50 + sweep)"),
     ("bench_fc", "/tmp/bench_r4_fc.json", "transfer: final_conv-only"),
     ("bench_dec", "/tmp/bench_r4_dec.json", "transfer: head+decoders"),
+    ("bench_kfold9_r5", "/tmp/r5_kfold9.json",
+     "UNETSULC_KFOLD9=1 A/B (crash-shape excluded) — LOST, default off"),
+    ("bench_nmerge_r5", "/tmp/r5_nmerge.json",
+     "UNETSULC_NMERGE=1 A/B — LOST, default off"),
 ]
 
 LOG_FILES = [
@@ -34,6 +38,13 @@ LOG_FILES = [
      "100-epoch XLA arm"),
     ("transfer100", "/tmp/transfer100.log", r".*mean val acc.*",
      "transfer from the 100-epoch trunk"),
+    ("mxu_r5", "/tmp/r5_mxu.log", r"K=\s*\d+.*eff.*",
+     "MXU K-scaling probe (fixed, round 5)"),
+    ("sp_memory_r5", "/tmp/r5_sp_memory.log",
+     r"(PER_DEVICE_PEAK .*|BREAKDOWN .*|RATIO .*)",
+     "sp per-device peak bytes + breakdown (round 5)"),
+    ("census_r5", "/tmp/r5_census.log", r"== .*",
+     "sp2 vs single HLO shape census (round 5)"),
 ]
 
 

@@ -44,6 +44,44 @@ def census(text: str, top: int = 25):
     return tally, counts
 
 
+ENTRY_RE = re.compile(
+    r"= (f64|f32|bf16|f16|s64|u64|s32|u32|s16|u16|s8|u8|pred)\[([0-9,]+)\]"
+)
+
+
+def entry_census(text: str):
+    """Tally only ENTRY-computation instruction OUTPUTS — the buffers XLA
+    actually materializes (fusion-interior lines never allocate).  This
+    is the view that localized the sp=2 peak (2026-08-19): the sp2
+    program has NO full-X-extent buffer but ~2.3x as many distinct
+    level-0-slab buffers as single-device (ring_fill/ring_planes_5d
+    concats per conv input in fwd, remat'd bwd, and wgrad/dx), each
+    ~0.5x size — net ~1.15x, matching the measured 1.14x peak ratio."""
+    tally, counts = Counter(), Counter()
+    in_entry = False
+    for line in text.splitlines():
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
+        if not in_entry:
+            continue
+        m = ENTRY_RE.search(line)
+        if not m:
+            continue
+        dt, dims = m.groups()
+        n = 1
+        for d in dims.split(","):
+            n *= int(d)
+        b = n * DTYPE_BYTES[dt]
+        if b >= 8 << 20:
+            key = f"{dt}[{dims}]"
+            tally[key] += b
+            counts[key] += 1
+    return tally, counts
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -106,6 +144,12 @@ def main() -> int:
         print(f"== {tag}: {total/2**30:.2f} GiB across >=8MB shapes "
               f"(shape-mention sum, not live bytes)")
         for key, b in tally.most_common(25):
+            print(f"  {b/2**20:9.1f} MiB  x{counts[key]:3d}  {key}")
+        tally, counts = entry_census(text)
+        total = sum(tally.values())
+        print(f"== {tag} ENTRY-level (materialized outputs): "
+              f"{total/2**30:.2f} GiB")
+        for key, b in tally.most_common(18):
             print(f"  {b/2**20:9.1f} MiB  x{counts[key]:3d}  {key}")
     return 0
 

@@ -483,6 +483,14 @@ def main():
                     "error": "jax backend init+compile probe did not "
                     f"succeed in {os.environ.get('UNETSULC_PROBE_TIMEOUT', '300')}s"
                     " (TPU tunnel outage? see CLAUDE.md)",
+                    "last_measured_onchip": {
+                        "unet3d_train_voxels_per_sec_per_chip": 10472331.0,
+                        "date": "2026-08-19",
+                        "note": "real v5e measurement from the same kernel"
+                        " set, recorded in BASELINE.md 'Current"
+                        " performance'; this run failed only because the"
+                        " backend was unreachable",
+                    },
                 }
             )
         )
